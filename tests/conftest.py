@@ -8,6 +8,9 @@ plan's replacement for the reference's nonexistent distributed tests).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# torch (used only as a test oracle) deadlocks XLA-CPU's threadpool on
+# single-core boxes unless OpenMP is pinned to one thread.
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +20,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# Single-core CI box: persist compiled executables across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fm3dgan_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
