@@ -1,0 +1,247 @@
+"""pSp GradualStyleEncoder (E_W+), NHWC.
+
+Parity with /root/reference/psp_encoder_model/encoders/psp_encoders.py:44-132
+and helpers.py:38-139: IR-SE ResNet backbone + FPN taps at 3 feature levels
+with bilinear (align_corners=True) lateral fusion, and n_styles
+GradualStyleBlocks split coarse/middle/fine at indices 3/7 producing
+[N, n_styles, 512] W+ codes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fm3dgan.nn.layers import EqualLinear
+
+Dtype = Any
+
+
+def get_blocks(num_layers: int) -> List[List[Tuple[int, int, int]]]:
+    """(in_channel, depth, stride) units per stage (helpers.py:38-73)."""
+
+    def block(in_channel, depth, num_units, stride=2):
+        return [(in_channel, depth, stride)] + [
+            (depth, depth, 1) for _ in range(num_units - 1)
+        ]
+
+    if num_layers == 18:
+        return [
+            block(64, 64, 2),
+            block(64, 128, 2),
+            block(128, 256, 2),
+            block(256, 512, 2),
+        ]
+    if num_layers == 50:
+        return [
+            block(64, 64, 3),
+            block(64, 128, 4),
+            block(128, 256, 14),
+            block(256, 512, 3),
+        ]
+    if num_layers == 100:
+        return [
+            block(64, 64, 3),
+            block(64, 128, 13),
+            block(128, 256, 30),
+            block(256, 512, 3),
+        ]
+    if num_layers == 152:
+        return [
+            block(64, 64, 3),
+            block(64, 128, 8),
+            block(128, 256, 36),
+            block(256, 512, 3),
+        ]
+    raise ValueError(f"num_layers must be in (18, 50, 100, 152), got {num_layers}")
+
+
+def bilinear_resize_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize with align_corners=True semantics, NHWC.
+
+    (jax.image.resize only offers half-pixel-center sampling; pSp's FPN uses
+    align_corners=True, psp_encoders.py:99-100.)
+    """
+    n, h, w, c = x.shape
+    if h == out_h and w == out_w:
+        return x
+
+    def axis_weights(in_size, out_size):
+        if out_size == 1:
+            src = jnp.zeros((1,))
+        else:
+            src = jnp.arange(out_size) * ((in_size - 1) / (out_size - 1))
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+        hi = jnp.clip(lo + 1, 0, in_size - 1)
+        frac = (src - lo).astype(x.dtype)
+        return lo, hi, frac
+
+    ylo, yhi, yf = axis_weights(h, out_h)
+    xlo, xhi, xf = axis_weights(w, out_w)
+    top = jnp.take(x, ylo, axis=1)
+    bot = jnp.take(x, yhi, axis=1)
+    rows = top + (bot - top) * yf[None, :, None, None]
+    left = jnp.take(rows, xlo, axis=2)
+    right = jnp.take(rows, xhi, axis=2)
+    return left + (right - left) * xf[None, None, :, None]
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch nn.PReLU(num_parameters=C), init 0.25)."""
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param(
+            "alpha", nn.initializers.constant(0.25), (x.shape[-1],)
+        )
+        return jnp.where(x >= 0, x, x * a.astype(x.dtype))
+
+
+class SEModule(nn.Module):
+    """Squeeze-excitation (helpers.py:76-93)."""
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(c // self.reduction, (1, 1), use_bias=False, name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Conv(c, (1, 1), use_bias=False, name="fc2")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class BottleneckIRSE(nn.Module):
+    """IR-SE residual unit (helpers.py:115-139)."""
+
+    depth: int
+    stride: int
+    use_se: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_channel = x.shape[-1]
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        if in_channel == self.depth:
+            # MaxPool(1, stride) == strided subsample.
+            shortcut = x[:, :: self.stride, :: self.stride, :]
+        else:
+            shortcut = nn.Conv(
+                self.depth, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="shortcut_conv",
+            )(x)
+            shortcut = norm("shortcut_bn")(shortcut)
+        res = norm("bn0")(x)
+        res = nn.Conv(
+            self.depth, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name="conv1",
+        )(res)
+        res = PReLU(name="prelu")(res)
+        res = nn.Conv(
+            self.depth, (3, 3), strides=(self.stride, self.stride), padding=1,
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(res)
+        res = norm("bn2")(res)
+        if self.use_se:
+            res = SEModule(name="se")(res)
+        return res + shortcut
+
+
+class GradualStyleBlock(nn.Module):
+    """Conv-stride-2 stack + EqualLinear (psp_encoders.py:20-41)."""
+
+    out_c: int
+    spatial: int
+
+    @nn.compact
+    def __call__(self, x):
+        import math
+
+        num_pools = int(math.log2(self.spatial))
+        for i in range(num_pools):
+            x = nn.Conv(
+                self.out_c, (3, 3), strides=(2, 2), padding=1, name=f"conv{i}"
+            )(x)
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        x = x.reshape(x.shape[0], self.out_c)
+        return EqualLinear(self.out_c, name="linear")(x)
+
+
+class GradualStyleEncoder(nn.Module):
+    """E_W+: photo -> [N, n_styles, 512] W+ codes."""
+
+    num_layers: int = 18
+    mode: str = "ir_se"
+    n_styles: int = 14
+    input_nc: int = 3
+    coarse_ind: int = 3
+    middle_ind: int = 7
+    input_size: int = 256  # reference hardcodes spatials 16/32/64 for 256 input
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.num_layers in (18, 50), "FPN tap indices defined for 18/50"
+        use_se = self.mode == "ir_se"
+        blocks = get_blocks(self.num_layers)
+
+        x = nn.Conv(
+            64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name="input_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="input_bn",
+        )(x)
+        x = PReLU(name="input_prelu")(x)
+
+        # Flattened unit list; taps per reference (psp_encoders.py:106-109).
+        taps = {18: (3, 5, 7), 50: (6, 20, 23)}[self.num_layers]
+        c1 = c2 = c3 = None
+        unit_idx = 0
+        for stage in blocks:
+            for (_, depth, stride) in stage:
+                x = BottleneckIRSE(
+                    depth, stride, use_se=use_se, dtype=self.dtype,
+                    name=f"body_{unit_idx}",
+                )(x, train)
+                if unit_idx == taps[0]:
+                    c1 = x
+                elif unit_idx == taps[1]:
+                    c2 = x
+                elif unit_idx == taps[2]:
+                    c3 = x
+                unit_idx += 1
+
+        sp_c3 = self.input_size // 16
+        sp_c2 = self.input_size // 8
+        sp_c1 = self.input_size // 4
+        latents = []
+        for j in range(self.coarse_ind):
+            latents.append(
+                GradualStyleBlock(512, sp_c3, name=f"style_{j}")(c3)
+            )
+        lat1 = nn.Conv(512, (1, 1), name="latlayer1")(c2)
+        p2 = (
+            bilinear_resize_align_corners(c3, lat1.shape[1], lat1.shape[2])
+            + lat1
+        )
+        for j in range(self.coarse_ind, self.middle_ind):
+            latents.append(GradualStyleBlock(512, sp_c2, name=f"style_{j}")(p2))
+        lat2 = nn.Conv(512, (1, 1), name="latlayer2")(c1)
+        p1 = (
+            bilinear_resize_align_corners(p2, lat2.shape[1], lat2.shape[2])
+            + lat2
+        )
+        for j in range(self.middle_ind, self.n_styles):
+            latents.append(GradualStyleBlock(512, sp_c1, name=f"style_{j}")(p1))
+
+        return jnp.stack(latents, axis=1)

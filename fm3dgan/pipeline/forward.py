@@ -1,0 +1,253 @@
+"""Composition layer: (photo, render) -> edited image.
+
+Parity with /root/reference/Util/network_util.py:212-338:
+
+* ``forward_3_encoder`` — THE production forward
+  (``Forward_Inference_3_Encoder``, network_util.py:293-338):
+  tensor = E_Tsr(photo or render), W = E_W(render) [N,512],
+  W+ = E_W_Plus(photo) [N,14,512]; combined latent[i] = W * W+[:, i] on
+  ``sliced_layer`` indices else W; generator runs with the external input
+  tensor.  Default ``tsr_encode`` follows the shipped 3-encoder config
+  ('Render Image', train_3_encoder_hyperparams.py:29).
+
+* ``forward_2_encoder`` — plain + Multiplication / Concatenation /
+  Tensor-Transform co-modulation modes (network_util.py:212-290).
+
+All functions are pure: they take the module definitions + variables and
+return (image, updated_batch_stats).  Pass ``train=True`` to update encoder
+BatchNorm statistics; pass a 'noise' rng for randomized generator noise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fm3dgan.models.generator import Generator
+from fm3dgan.models.psp_encoder import GradualStyleEncoder
+from fm3dgan.models.resnet_encoder import ResNet18Encoder
+
+MODULATION_ENCODING = ("Render Image", "Photo Image")
+CO_MODULATION_MODE = ("Multiplication", "Concatenation", "Tensor Transform")
+
+
+@dataclasses.dataclass(frozen=True)
+class FaceManipulator:
+    """Module bundle for the 3-encoder manipulation pipeline."""
+
+    generator: Generator
+    e_tsr: ResNet18Encoder
+    e_w: ResNet18Encoder
+    e_w_plus: GradualStyleEncoder
+
+    input_size: int = 256  # photo/render resolution fed to the encoders
+
+    @classmethod
+    def create(
+        cls,
+        size: int = 256,
+        style_dim: int = 512,
+        n_mlp: int = 8,
+        channel_multiplier: int = 2,
+        w_plus_layers: int = 18,
+        input_size: int = 256,
+        dtype=jnp.float32,
+    ) -> "FaceManipulator":
+        import math
+
+        n_styles = 2 * int(math.log2(size)) - 2
+        return cls(
+            generator=Generator(
+                size=size,
+                style_dim=style_dim,
+                n_mlp=n_mlp,
+                channel_multiplier=channel_multiplier,
+                dtype=dtype,
+            ),
+            e_tsr=ResNet18Encoder(tensor_encoding=True, dtype=dtype),
+            e_w=ResNet18Encoder(tensor_encoding=False, dtype=dtype),
+            e_w_plus=GradualStyleEncoder(
+                num_layers=w_plus_layers,
+                n_styles=n_styles,
+                input_size=input_size,
+                dtype=dtype,
+            ),
+            input_size=input_size,
+        )
+
+    def init_variables(self, key: jax.Array) -> Dict[str, Any]:
+        """Initialize all four variable collections on dummy inputs."""
+        size = self.input_size
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        img = jnp.zeros((1, size, size, 3), jnp.float32)
+        v_tsr = self.e_tsr.init(k1, img)
+        v_w = self.e_w.init(k2, img)
+        v_wp = self.e_w_plus.init(k3, img)
+        z = jnp.zeros((1, self.generator.style_dim), jnp.float32)
+        v_g = self.generator.init({"params": k4, "noise": k5}, z)
+        return {"g": v_g, "e_tsr": v_tsr, "e_w": v_w, "e_w_plus": v_wp}
+
+
+def _combine_w_wplus(
+    w: jax.Array, w_plus: jax.Array, sliced_layer: Optional[Sequence[int]]
+) -> jax.Array:
+    """latent[:, i] = W * W+[:, i] for i in sliced_layer else W
+    (network_util.py:320-327)."""
+    n_latent = w_plus.shape[1]
+    if sliced_layer is None:
+        sliced_layer = range(n_latent)
+    mask = jnp.asarray(
+        [1.0 if i in set(sliced_layer) else 0.0 for i in range(n_latent)],
+        w.dtype,
+    )[None, :, None]
+    w_b = w[:, None, :]
+    return jnp.where(mask > 0, w_b * w_plus, w_b)
+
+
+def forward_3_encoder(
+    models: FaceManipulator,
+    variables: Dict[str, Any],
+    photo: jax.Array,
+    render: jax.Array,
+    *,
+    tsr_encode: str = "Render Image",
+    sliced_layer: Optional[Sequence[int]] = None,
+    use_tanh: bool = False,
+    train: bool = False,
+    noise_rng: Optional[jax.Array] = None,
+    return_latent: bool = False,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """(photo, render) [N,H,W,3] in [-1,1] -> edited image [N,H,W,3].
+
+    Returns (image, updated_variable_collections) where the update contains
+    refreshed encoder batch_stats when train=True (else empty).
+    """
+    assert tsr_encode in MODULATION_ENCODING
+    tsr_input = photo if tsr_encode == "Photo Image" else render
+    updates: Dict[str, Any] = {}
+
+    def apply_enc(module, key, x):
+        if train:
+            out, upd = module.apply(
+                variables[key], x, train=True, mutable=["batch_stats"]
+            )
+            updates[key] = upd
+            return out
+        return module.apply(variables[key], x)
+
+    encoded_tensor = apply_enc(models.e_tsr, "e_tsr", tsr_input)
+    encoded_w = apply_enc(models.e_w, "e_w", render)
+    encoded_w_plus = apply_enc(models.e_w_plus, "e_w_plus", photo)
+
+    latent = _combine_w_wplus(encoded_w, encoded_w_plus, sliced_layer)
+
+    rngs = {"noise": noise_rng} if noise_rng is not None else None
+    out = models.generator.apply(
+        variables["g"],
+        input_is_latent=True,
+        latent_styles=[latent],
+        external_input_tensor=encoded_tensor,
+        randomize_noise=noise_rng is not None,
+        rngs=rngs,
+        return_latent=return_latent,
+    )
+    if return_latent:
+        image, latent_out = out
+    else:
+        image = out
+    if use_tanh:
+        image = jnp.tanh(image)
+    if return_latent:
+        return image, latent_out, updates
+    return image, updates
+
+
+def forward_2_encoder(
+    tensor_encoder: ResNet18Encoder,
+    modulation_encoder,
+    generator: Generator,
+    variables: Dict[str, Any],
+    photo: jax.Array,
+    render: jax.Array,
+    *,
+    mod_encode: str = "Render Image",
+    co_modulation: Optional[str] = None,
+    sliced_layer: Optional[Sequence[int]] = None,
+    use_tanh: bool = False,
+    train: bool = False,
+    noise_rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """2-encoder inference incl. co-modulation modes (network_util.py:212-290).
+
+    variables keys: 'tensor_encoder', 'modulation_encoder', 'g'.
+    """
+    assert mod_encode in MODULATION_ENCODING
+    updates: Dict[str, Any] = {}
+
+    def apply_enc(module, key, x):
+        if train:
+            out, upd = module.apply(
+                variables[key], x, train=True, mutable=["batch_stats"]
+            )
+            updates[key] = upd
+            return out
+        return module.apply(variables[key], x)
+
+    rngs = {"noise": noise_rng} if noise_rng is not None else None
+    g_kwargs = dict(
+        input_is_latent=True,
+        randomize_noise=noise_rng is not None,
+        rngs=rngs,
+    )
+
+    if co_modulation is None:
+        if mod_encode == "Render Image":
+            encoded_tensor = apply_enc(tensor_encoder, "tensor_encoder", photo)
+            encoded_w = apply_enc(modulation_encoder, "modulation_encoder", render)
+        else:
+            encoded_tensor = apply_enc(tensor_encoder, "tensor_encoder", render)
+            encoded_w = apply_enc(modulation_encoder, "modulation_encoder", photo)
+        image = generator.apply(
+            variables["g"],
+            latent_styles=[encoded_w],
+            external_input_tensor=encoded_tensor,
+            **g_kwargs,
+        )
+    else:
+        assert co_modulation in CO_MODULATION_MODE
+        if co_modulation == "Multiplication":
+            # W vector from the render-path encoder times W+ per-layer codes.
+            encoded_vec = apply_enc(tensor_encoder, "tensor_encoder", render)
+            encoded_wp = apply_enc(modulation_encoder, "modulation_encoder", photo)
+            latent = _combine_w_wplus(encoded_vec, encoded_wp, sliced_layer)
+            image = generator.apply(
+                variables["g"], latent_styles=[latent], **g_kwargs
+            )
+        elif co_modulation == "Concatenation":
+            encoded_vec = apply_enc(tensor_encoder, "tensor_encoder", render)
+            encoded_wp = apply_enc(modulation_encoder, "modulation_encoder", photo)
+            rep = jnp.repeat(encoded_vec[:, None, :], encoded_wp.shape[1], axis=1)
+            latent = jnp.concatenate([rep, encoded_wp], axis=2)
+            image = generator.apply(
+                variables["g"], latent_styles=[latent], **g_kwargs
+            )
+        else:  # Tensor Transform
+            encoded_tensor, encoded_vec = apply_enc(
+                tensor_encoder, "tensor_encoder", render
+            )
+            encoded_wp = apply_enc(modulation_encoder, "modulation_encoder", photo)
+            rep = jnp.repeat(encoded_vec[:, None, :], encoded_wp.shape[1], axis=1)
+            latent = jnp.concatenate([rep, encoded_wp], axis=2)
+            image = generator.apply(
+                variables["g"],
+                latent_styles=[latent],
+                external_input_tensor=encoded_tensor,
+                **g_kwargs,
+            )
+
+    if use_tanh:
+        image = jnp.tanh(image)
+    return image, updates
