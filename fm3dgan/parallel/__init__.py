@@ -1,0 +1,15 @@
+from fm3dgan.parallel.mesh import (
+    create_mesh,
+    replicate,
+    shard_batch,
+    batch_sharding,
+    replicated_sharding,
+)
+
+__all__ = [
+    "create_mesh",
+    "replicate",
+    "shard_batch",
+    "batch_sharding",
+    "replicated_sharding",
+]

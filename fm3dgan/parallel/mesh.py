@@ -1,0 +1,54 @@
+"""Device-mesh utilities: SPMD data parallelism over ICI.
+
+TPU-native replacement for the reference's parallelism layer:
+``nn.DataParallel`` intra-process scatter/gather (train_3_encoder.py:355-362)
+and the unused torch.distributed helpers (Miscellaneous/distributed.py:18-135).
+
+Design (SURVEY.md §2.10): one global ``jax.sharding.Mesh`` with a 'data' axis;
+batches are sharded on it, parameters/optimizer state replicated.  Steps run
+under plain ``jit`` — GSPMD inserts the gradient all-reduces that
+``gather_grad``/``reduce_loss_dict`` performed by hand in the reference, and
+loss means over the global batch subsume ``reduce_loss_dict``'s rank-0
+division.  ``jax.lax.all_gather`` replaces the pickle-based ``all_gather``
+for eval feature collection.  Multi-host DCN extends the same mesh via
+``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "data"
+) -> Mesh:
+    """1-D data-parallel mesh over the first n available devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a pytree of [N, ...] arrays with N sharded over the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) over every mesh device."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

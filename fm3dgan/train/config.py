@@ -1,0 +1,102 @@
+"""Training configuration.
+
+One dataclass replacing the reference's two-level hyperparams-module +
+argparse scheme (train_3_encoder_hyperparams.py:20-79 feeding
+train_3_encoder.py:43-117) — and fixing its ``type=bool`` CLI pitfalls.
+Defaults are the shipped 3-encoder config values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+DATASET_TYPE = ("FFHQ", "Synthetic")
+MODULATION_SPACE = ("W", "W+")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # Model (train_3_encoder_hyperparams.py:23-27)
+    size: int = 256
+    channel_multiplier: int = 2
+    latent: int = 512
+    n_mlp: int = 8
+    use_separate_d: bool = True
+
+    # Encoders (train_3_encoder_hyperparams.py:29-37)
+    tsr_encode: str = "Render Image"
+    tsr_train: bool = True
+    w_encode: str = "Render Image"
+    w_train: bool = True
+    w_plus_encode: str = "Photo Image"
+    w_plus_encoder_layer_num: int = 18
+    w_plus_sliced_layer: Optional[Tuple[int, ...]] = None
+    w_plus_train: bool = True
+    use_tanh: bool = False
+
+    # Schedule (train_3_encoder_hyperparams.py:46-53)
+    training_iters: int = 420_001
+    ds_freq: int = 2  # 1 dual-supervision step every ds_freq iters
+    ex_ds_freq: int = 3  # 1 extreme-DS step every ex_ds_freq DS steps
+    rec_batch: int = 16
+    ds_batch: int = 16
+    lr: float = 1e-3
+
+    # Regularizers (train_3_encoder_hyperparams.py:55-60)
+    use_g_reg: bool = True
+    g_reg_every: int = 4
+    path_reg_weight: float = 2.0
+    path_reg_batch_shrink: int = 2
+    r1: float = 10.0
+    d_reg_every: int = 16
+
+    # Loss weights (train_3_encoder_hyperparams.py:62-71)
+    lpips_loss_lambda: float = 3.0
+    l1_loss_lambda: float = 3.0
+    ep_lpips_l1_weight_shrink: float = 10.0
+    face_id_loss_lambda: float = 30.0
+    face_id_loss_type: str = "MSE"
+    hmap_loss_lambda: float = 0.0
+    hmap_iter_thres: float = math.inf
+    rec_face_reg_loss_lambda: float = 0.0
+    ds_face_reg_loss_lambda: float = 20.0
+    ep_face_reg_loss_lambda: float = 100.0
+
+    # EMA (train_3_encoder.py:776)
+    ema_decay: float = 0.5 ** (32 / 10_000)
+
+    # Eval / checkpoint cadence (train_3_encoder_hyperparams.py:73-79)
+    model_save_freq: int = 10_000
+    val_sample_freq: int = 1_000
+    quant_eval_batch_size: int = 64
+
+    # Precision / parallelism (TPU-native knobs; no reference counterpart)
+    compute_dtype: str = "float32"  # or "bfloat16"
+    data_axis: str = "data"
+
+    @property
+    def g_reg_ratio(self) -> float:
+        return self.g_reg_every / (self.g_reg_every + 1)
+
+    @property
+    def d_reg_ratio(self) -> float:
+        return self.d_reg_every / (self.d_reg_every + 1)
+
+    @property
+    def n_latent(self) -> int:
+        return 2 * int(math.log2(self.size)) - 2
+
+    def is_ds_iter(self, i: int) -> bool:
+        """ds_flag = (i % ds_freq == ds_freq - 1) (train_3_encoder.py:783)."""
+        return i % self.ds_freq == self.ds_freq - 1
+
+    def is_extreme_ds_iter(self, i: int) -> bool:
+        """extreme_ds = (ds_count % ex_ds_freq == ex_ds_freq - 1) where
+        ds_count is the number of earlier DS iters (train_3_encoder.py:783-789).
+        """
+        if not self.is_ds_iter(i):
+            return False
+        ds_count = i // self.ds_freq  # DS iters before this one
+        return ds_count % self.ex_ds_freq == self.ex_ds_freq - 1

@@ -1,0 +1,205 @@
+"""Host-side training loop.
+
+Counterpart of the reference ``train()`` (train_3_encoder.py:756-828): the
+alternating reconstruction / dual-supervision / extreme-pose schedule runs on
+the host as Python control flow; each branch calls a pre-compiled jitted step.
+Replaces: nn.DataParallel fan-out -> mesh sharding; text-log prints ->
+structured metrics dict; torch.save -> Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fm3dgan.models.arcface import ResNetFace18
+from fm3dgan.models.discriminator import Discriminator
+from fm3dgan.models.lpips import LPIPS
+from fm3dgan.parallel.mesh import create_mesh, replicate, shard_batch
+from fm3dgan.pipeline.forward import FaceManipulator
+from fm3dgan.train.config import TrainConfig
+from fm3dgan.train.state import TrainState
+from fm3dgan.train.steps import make_step_fns
+
+
+class Trainer:
+    """Builds the model stack, train state and jitted steps; runs iterations."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        seed: int = 0,
+        mesh=None,
+        frozen_variables: Optional[Dict[str, Any]] = None,
+        use_lpips: bool = True,
+        use_arcface: bool = True,
+        input_size: Optional[int] = None,
+    ):
+        self.config = config
+        self.models = FaceManipulator.create(
+            size=config.size,
+            style_dim=config.latent,
+            n_mlp=config.n_mlp,
+            channel_multiplier=config.channel_multiplier,
+            w_plus_layers=config.w_plus_encoder_layer_num,
+            input_size=input_size or config.size,
+            dtype=jnp.dtype(config.compute_dtype),
+        )
+        self.d_module = Discriminator(
+            size=config.size,
+            channel_multiplier=config.channel_multiplier,
+            dtype=jnp.dtype(config.compute_dtype),
+        )
+        self.lpips_module = LPIPS() if use_lpips else None
+        self.arcface_module = ResNetFace18(use_se=False) if use_arcface else None
+
+        key = jax.random.PRNGKey(seed)
+        k_models, k_d, k_de, k_lpips, k_arc, self._key = jax.random.split(key, 6)
+
+        variables = self.models.init_variables(k_models)
+        img = jnp.zeros((1, config.size, config.size, 3), jnp.float32)
+        v_d = self.d_module.init(k_d, img)
+        v_d_edit = self.d_module.init(k_de, img)
+
+        params = {
+            "g": variables["g"]["params"],
+            "e_tsr": variables["e_tsr"]["params"],
+            "e_w": variables["e_w"]["params"],
+            "e_w_plus": variables["e_w_plus"]["params"],
+            "d": v_d["params"],
+            "d_edit": v_d_edit["params"],
+        }
+        stats = {
+            "g": {k: v for k, v in variables["g"].items() if k != "params"},
+            "e_tsr": {k: v for k, v in variables["e_tsr"].items() if k != "params"},
+            "e_w": {k: v for k, v in variables["e_w"].items() if k != "params"},
+            "e_w_plus": {
+                k: v for k, v in variables["e_w_plus"].items() if k != "params"
+            },
+        }
+        self.state = TrainState.create(config, params, stats, with_d_edit=True)
+
+        self.frozen: Dict[str, Any] = frozen_variables or {}
+        if use_lpips and "lpips" not in self.frozen:
+            size = input_size or config.size
+            dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+            self.frozen["lpips"] = self.lpips_module.init(k_lpips, dummy, dummy)
+        if use_arcface and "arcface" not in self.frozen:
+            dummy = jnp.zeros((1, 128, 128, 1), jnp.float32)
+            self.frozen["arcface"] = self.arcface_module.init(k_arc, dummy)
+
+        self.steps = make_step_fns(
+            self.models,
+            self.d_module,
+            config,
+            lpips_module=self.lpips_module,
+            arcface_module=self.arcface_module,
+        )
+
+        self.mesh = mesh
+        if mesh is not None:
+            self.state = replicate(self.state, mesh)
+            self.frozen = replicate(self.frozen, mesh)
+
+        self.mean_metrics: Dict[str, float] = {}
+        self._last_r1 = jnp.zeros(())
+        self._last_greg = {"g_reg": jnp.zeros(()), "path_length": jnp.zeros(())}
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _put(self, *arrays):
+        if self.mesh is not None:
+            return shard_batch(tuple(jnp.asarray(a) for a in arrays), self.mesh)
+        return tuple(jnp.asarray(a) for a in arrays)
+
+    def train_iteration(
+        self, iter_idx: int, g_input, r_input, g_ref
+    ) -> Dict[str, Any]:
+        """One full reference iteration (train_3_encoder.py:779-822):
+        D step, lazy R1, G step, lazy PPL, EMA."""
+        cfg = self.config
+        ds_flag = cfg.is_ds_iter(iter_idx)
+        extreme = cfg.is_extreme_ds_iter(iter_idx)
+        use_edit = bool(ds_flag and cfg.use_separate_d)
+
+        photo, render, ref = self._put(g_input, r_input, g_ref)
+        metrics: Dict[str, Any] = {}
+
+        self.state, d_m = self.steps["d_step"](
+            self.state, photo, render, ref, self._next_key(), use_edit
+        )
+        metrics.update(d_m)
+
+        if iter_idx % cfg.d_reg_every == 0:
+            self.state, r1_m = self.steps["d_reg_step"](self.state, ref, use_edit)
+            self._last_r1 = r1_m["r1"]
+        metrics["r1"] = self._last_r1
+
+        self.state, g_m = self.steps["g_step"](
+            self.state,
+            photo,
+            render,
+            ref,
+            self._next_key(),
+            self.frozen,
+            use_edit,
+            ds_flag,
+            extreme,
+        )
+        metrics.update(g_m)
+
+        if cfg.use_g_reg and iter_idx % cfg.g_reg_every == 0:
+            # Host-side random subset (train_3_encoder.py:568-570).
+            bsz = photo.shape[0]
+            path_bsz = max(1, bsz // cfg.path_reg_batch_shrink)
+            idx = np.random.choice(bsz, size=path_bsz, replace=False)
+            p_sub, r_sub = self._put(
+                np.asarray(photo)[idx], np.asarray(render)[idx]
+            )
+            self.state, gr_m = self.steps["g_reg_step"](
+                self.state, p_sub, r_sub, self._next_key()
+            )
+            self._last_greg = gr_m
+        metrics.update(self._last_greg)
+
+        self.state = self.steps["ema_step"](self.state)
+        metrics["ds_flag"] = ds_flag
+        metrics["extreme_ds_flag"] = extreme
+        return metrics
+
+    # ------------------------------------------------------------------
+    # Checkpointing (Orbax) — counterpart of the torch.save dict
+    # (train_3_encoder.py:735-753).
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, ckpt_dir: str, step: int):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"{step:06d}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(self.state))
+        ckptr.wait_until_finished()
+        meta = {
+            "step": step,
+            "tsr_encode": self.config.tsr_encode,
+            "use_tanh": self.config.use_tanh,
+            "sliced_layer": self.config.w_plus_sliced_layer,
+            "size": self.config.size,
+        }
+        with open(os.path.join(ckpt_dir, f"{step:06d}.json"), "w") as f:
+            json.dump(meta, f)
+
+    def load_checkpoint(self, ckpt_dir: str, step: int):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"{step:06d}"))
+        ckptr = ocp.StandardCheckpointer()
+        self.state = ckptr.restore(path, self.state)

@@ -1,0 +1,329 @@
+"""Jitted training step functions.
+
+Pure-function counterparts of the reference's backward drivers
+(train_3_encoder.py:448-596): the mutable requires_grad choreography becomes
+parameter partitions (grads taken only w.r.t. the partition being trained),
+and each step returns a new TrainState.
+
+Four steps per the reference cadence (train_3_encoder.py:779-822):
+  d_step      — GAN logistic loss on the active D (D or D_edit)
+  d_reg_step  — lazy R1 every d_reg_every iters
+  g_step      — GAN + LPIPS + L1 + FaceID (+ FaceRegional/heatmap) on G+encoders
+  g_reg_step  — lazy path-length regularizer every g_reg_every iters
+plus the g_ema update (train_3_encoder.py:195-200).
+
+All steps run under jit; multi-chip data parallelism comes from calling them
+with batch arrays sharded over the mesh 'data' axis and replicated state
+(fm3dgan/parallel/mesh.py) — XLA inserts the gradient all-reduces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fm3dgan.losses.gan import (
+    d_logistic_loss,
+    d_r1_penalty,
+    g_nonsaturating_loss,
+)
+from fm3dgan.losses.geometry import face_regional_loss
+from fm3dgan.losses.path_reg import path_regularize
+from fm3dgan.losses.recon import face_identity_loss, l1_loss
+from fm3dgan.pipeline.forward import FaceManipulator, _combine_w_wplus
+from fm3dgan.train.config import TrainConfig
+from fm3dgan.train.state import TrainState, make_d_optimizer, make_g_enc_optimizer
+
+
+def _variables(params: Dict[str, Any], stats: Dict[str, Any], key: str):
+    v = {"params": params[key]}
+    v.update(stats.get(key, {}))
+    return v
+
+
+def _encode(models, params, stats, photo, render, config, train):
+    """Run the 3 encoders; returns (tensor, latent, new_stats)."""
+    tsr_input = photo if config.tsr_encode == "Photo Image" else render
+    new_stats = dict(stats)
+
+    def apply_enc(module, key, x):
+        if train:
+            out, upd = module.apply(
+                _variables(params, stats, key), x, train=True,
+                mutable=["batch_stats"],
+            )
+            merged = dict(stats.get(key, {}))
+            merged.update(upd)
+            new_stats[key] = merged
+            return out
+        return module.apply(_variables(params, stats, key), x)
+
+    tensor = apply_enc(models.e_tsr, "e_tsr", tsr_input)
+    w = apply_enc(models.e_w, "e_w", render)
+    w_plus = apply_enc(models.e_w_plus, "e_w_plus", photo)
+    latent = _combine_w_wplus(w, w_plus, config.w_plus_sliced_layer)
+    return tensor, latent, new_stats
+
+
+def _generate(models, params, stats, latent, tensor, config, noise_rng):
+    g_vars = _variables(params, stats, "g")
+    img = models.generator.apply(
+        g_vars,
+        input_is_latent=True,
+        latent_styles=[latent],
+        external_input_tensor=tensor,
+        randomize_noise=noise_rng is not None,
+        rngs={"noise": noise_rng} if noise_rng is not None else None,
+    )
+    if config.use_tanh:
+        img = jnp.tanh(img)
+    return img
+
+
+def forward_full(models, params, stats, photo, render, config, noise_rng, train):
+    tensor, latent, new_stats = _encode(
+        models, params, stats, photo, render, config, train
+    )
+    img = _generate(models, params, stats, latent, tensor, config, noise_rng)
+    return img, new_stats
+
+
+def make_step_fns(
+    models: FaceManipulator,
+    d_module,
+    config: TrainConfig,
+    lpips_module=None,
+    arcface_module=None,
+    heatmap_fn: Optional[Callable] = None,
+):
+    """Build the jitted step functions.
+
+    d_module: the Discriminator module definition (shared by D and D_edit).
+    lpips_module/arcface_module: frozen-net module defs; their variables are
+    passed per-call in ``frozen`` ({'lpips':..., 'arcface':...}).
+    """
+    g_enc_tx = make_g_enc_optimizer(config)
+    d_tx = make_d_optimizer(config)
+
+    # ---------------- D step (train_3_encoder.py:448-477) ----------------
+
+    @functools.partial(jax.jit, static_argnames=("use_edit",))
+    def d_step(state: TrainState, photo, render, ref, rng, use_edit: bool):
+        d_key = "d_edit" if use_edit else "d"
+        fake, new_stats = forward_full(
+            models, state.params, state.stats, photo, render, config,
+            noise_rng=rng, train=True,
+        )
+        fake = jax.lax.stop_gradient(fake)
+
+        def loss_fn(d_params):
+            out_pred = d_module.apply({"params": d_params}, fake)
+            ref_pred = d_module.apply({"params": d_params}, ref)
+            loss = d_logistic_loss(ref_pred, out_pred)
+            return loss, (jnp.mean(ref_pred), jnp.mean(out_pred))
+
+        (loss, (ref_score, out_score)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params[d_key])
+
+        opt_state = state.d_edit_opt if use_edit else state.d_opt
+        updates, new_opt = d_tx.update(grads, opt_state, state.params[d_key])
+        new_d_params = optax.apply_updates(state.params[d_key], updates)
+        new_params = dict(state.params)
+        new_params[d_key] = new_d_params
+        state = state.replace(
+            params=new_params,
+            stats=new_stats,
+            **({"d_edit_opt": new_opt} if use_edit else {"d_opt": new_opt}),
+        )
+        metrics = {"d": loss, "ref_score": ref_score, "out_score": out_score}
+        return state, metrics
+
+    # ---------------- D regularization (R1) (:479-493) -------------------
+
+    @functools.partial(jax.jit, static_argnames=("use_edit",))
+    def d_reg_step(state: TrainState, ref, use_edit: bool):
+        d_key = "d_edit" if use_edit else "d"
+
+        def loss_fn(d_params):
+            r1 = d_r1_penalty(
+                lambda img: d_module.apply({"params": d_params}, img), ref
+            )
+            # weight r1/2 * d_reg_every (train_3_encoder.py:490); the
+            # reference's `0*real_pred[0]` coupling term exists only to keep
+            # torch graphs alive — unnecessary in JAX.
+            return config.r1 / 2.0 * r1 * config.d_reg_every, r1
+
+        (_, r1), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params[d_key]
+        )
+        opt_state = state.d_edit_opt if use_edit else state.d_opt
+        updates, new_opt = d_tx.update(grads, opt_state, state.params[d_key])
+        new_d_params = optax.apply_updates(state.params[d_key], updates)
+        new_params = dict(state.params)
+        new_params[d_key] = new_d_params
+        state = state.replace(
+            params=new_params,
+            **({"d_edit_opt": new_opt} if use_edit else {"d_opt": new_opt}),
+        )
+        return state, {"r1": r1}
+
+    # ---------------- G step (:495-558) -----------------------------------
+
+    g_enc_keys = ("g", "e_tsr", "e_w", "e_w_plus")
+
+    @functools.partial(
+        jax.jit, static_argnames=("use_edit", "ds_flag", "extreme_ds_flag",
+                                  "apply_hmap")
+    )
+    def g_step(
+        state: TrainState,
+        photo,
+        render,
+        ref,
+        rng,
+        frozen: Dict[str, Any],
+        use_edit: bool,
+        ds_flag: bool,
+        extreme_ds_flag: bool,
+        apply_hmap: bool = False,
+    ):
+        d_key = "d_edit" if use_edit else "d"
+
+        # Lambda schedule (train_3_encoder.py:517-526).
+        shrink = config.ep_lpips_l1_weight_shrink if extreme_ds_flag else 1.0
+        lpips_l = config.lpips_loss_lambda / shrink
+        l1_l = config.l1_loss_lambda / shrink
+        if not ds_flag:
+            face_reg_l = config.rec_face_reg_loss_lambda
+        elif not extreme_ds_flag:
+            face_reg_l = config.ds_face_reg_loss_lambda
+        else:
+            face_reg_l = config.ep_face_reg_loss_lambda
+
+        def loss_fn(g_enc_params):
+            params = dict(state.params)
+            params.update(g_enc_params)
+            fake, new_stats = forward_full(
+                models, params, state.stats, photo, render, config,
+                noise_rng=rng, train=True,
+            )
+            out_pred = d_module.apply({"params": state.params[d_key]}, fake)
+            g_loss = g_nonsaturating_loss(out_pred)
+
+            lpips = jnp.zeros((), fake.dtype)
+            if lpips_module is not None and lpips_l > 0:
+                lpips = lpips_l * jnp.mean(
+                    lpips_module.apply(frozen["lpips"], fake, ref)
+                )
+            l1 = l1_l * l1_loss(fake, ref)
+            face_id = jnp.zeros((), fake.dtype)
+            if arcface_module is not None and config.face_id_loss_lambda > 0:
+                # Extreme-DS compares identity against the input photo
+                # (train_3_encoder.py:521).
+                id_ref = photo if extreme_ds_flag else ref
+                face_id = config.face_id_loss_lambda * face_identity_loss(
+                    fake,
+                    id_ref,
+                    lambda x: arcface_module.apply(frozen["arcface"], x),
+                    config.face_id_loss_type,
+                )
+            hmap = jnp.zeros((), fake.dtype)
+            if apply_hmap and heatmap_fn is not None and config.hmap_loss_lambda > 0:
+                from fm3dgan.losses.geometry import heat_map_loss
+
+                hmap = config.hmap_loss_lambda * heat_map_loss(
+                    fake, render, heatmap_fn
+                )
+            face_reg = face_reg_l * face_regional_loss(render, fake)
+
+            total = g_loss + lpips + l1 + face_id + hmap + face_reg
+            metrics = {
+                "g": g_loss,
+                "lpips": lpips,
+                "l1": l1,
+                "face_id": face_id,
+                "hmap": hmap,
+                "face_reg": face_reg,
+            }
+            return total, (metrics, new_stats)
+
+        g_enc_params = {k: state.params[k] for k in g_enc_keys}
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(g_enc_params)
+
+        updates, new_opt = g_enc_tx.update(grads, state.g_enc_opt, g_enc_params)
+        new_g_enc = optax.apply_updates(g_enc_params, updates)
+        new_params = dict(state.params)
+        new_params.update(new_g_enc)
+        state = state.replace(
+            params=new_params, stats=new_stats, g_enc_opt=new_opt,
+            step=state.step + 1,
+        )
+        return state, metrics
+
+    # ---------------- G regularization (PPL) (:561-596) -------------------
+
+    @jax.jit
+    def g_reg_step(state: TrainState, photo, render, rng):
+        """photo/render: pre-sliced path-reg batch (host does the random
+        subset choice, train_3_encoder.py:568-570)."""
+        noise_key, ppl_key = jax.random.split(rng)
+
+        def loss_fn(g_enc_params):
+            params = dict(state.params)
+            params.update(g_enc_params)
+            tensor, latent, _ = _encode(
+                models, params, state.stats, photo, render, config, train=False
+            )
+
+            def g_fn(lat):
+                return _generate(
+                    models, params, state.stats, lat, tensor, config, noise_key
+                )
+
+            penalty, new_mean, path_lengths = path_regularize(
+                g_fn, latent, state.mean_path_length, ppl_key
+            )
+            weighted = (
+                config.path_reg_weight * config.g_reg_every * penalty
+            )
+            return weighted, (penalty, new_mean, jnp.mean(path_lengths))
+
+        g_enc_params = {k: state.params[k] for k in g_enc_keys}
+        (_, (penalty, new_mean, mean_pl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(g_enc_params)
+        updates, new_opt = g_enc_tx.update(grads, state.g_enc_opt, g_enc_params)
+        new_g_enc = optax.apply_updates(g_enc_params, updates)
+        new_params = dict(state.params)
+        new_params.update(new_g_enc)
+        state = state.replace(
+            params=new_params, g_enc_opt=new_opt, mean_path_length=new_mean
+        )
+        return state, {"g_reg": penalty, "path_length": mean_pl}
+
+    # ---------------- EMA (:195-200, 776) ---------------------------------
+
+    @jax.jit
+    def ema_step(state: TrainState):
+        decay = config.ema_decay
+        new_ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.g_ema_params,
+            state.params["g"],
+        )
+        return state.replace(g_ema_params=new_ema)
+
+    return {
+        "d_step": d_step,
+        "d_reg_step": d_reg_step,
+        "g_step": g_step,
+        "g_reg_step": g_reg_step,
+        "ema_step": ema_step,
+    }
