@@ -180,7 +180,7 @@ class ConvLayer(nn.Module):
             p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
             pad0 = (p + 1) // 2
             pad1 = p // 2
-            x = Blur(self.blur_kernel, pad=(pad0, pad1))(x)
+            x = Blur(self.blur_kernel, pad=(pad0, pad1), name="blur")(x)
             stride, padding = 2, 0
         else:
             stride, padding = 1, self.kernel_size // 2
@@ -191,12 +191,13 @@ class ConvLayer(nn.Module):
             padding=padding,
             use_bias=self.use_bias and not self.activate,
             dtype=self.dtype,
+            name="conv",
         )(x)
         if self.activate:
             if self.use_bias:
-                x = FusedLeakyReLU(self.out_channel)(x)
+                x = FusedLeakyReLU(self.out_channel, name="activate")(x)
             else:
-                x = ScaledLeakyReLU(0.2)(x)
+                x = ScaledLeakyReLU(0.2, name="activate")(x)
         return x
 
 
