@@ -1,0 +1,101 @@
+"""FID computation (parity with /root/reference/Evaluation/fid.py:28-130).
+
+calc_fid reproduces the reference's Fréchet distance incl. the
+singular-matrix eps fallback; feature extraction runs the jitted InceptionV3
+pool3 head (fm3dgan/models/inception.py).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def calc_fid(
+    sample_mean: np.ndarray,
+    sample_cov: np.ndarray,
+    real_mean: np.ndarray,
+    real_cov: np.ndarray,
+    eps: float = 1e-6,
+) -> float:
+    """Fréchet distance with scipy sqrtm + eps fallback (fid.py:50-73)."""
+    from scipy import linalg
+
+    cov_sqrt, _ = linalg.sqrtm(sample_cov @ real_cov, disp=False)
+    if not np.isfinite(cov_sqrt).all():
+        offset = np.eye(sample_cov.shape[0]) * eps
+        cov_sqrt = linalg.sqrtm(
+            (sample_cov + offset) @ (real_cov + offset)
+        )
+    if np.iscomplexobj(cov_sqrt):
+        if not np.allclose(np.diagonal(cov_sqrt).imag, 0, atol=1e-3):
+            m = np.max(np.abs(cov_sqrt.imag))
+            raise ValueError(f"Imaginary component {m}")
+        cov_sqrt = cov_sqrt.real
+    mean_diff = sample_mean - real_mean
+    mean_norm = mean_diff @ mean_diff
+    trace = np.trace(sample_cov) + np.trace(real_cov) - 2 * np.trace(cov_sqrt)
+    return float(mean_norm + trace)
+
+
+def compute_inception_stats(
+    features: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """features [N, 2048] -> (mean, cov) (calc_inception.py:108-112)."""
+    return np.mean(features, axis=0), np.cov(features, rowvar=False)
+
+
+def save_stats(path: str, mean: np.ndarray, cov: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        pickle.dump({"mean": mean, "cov": cov}, f)
+
+
+def load_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return d["mean"], d["cov"]
+
+
+def extract_features_from_samples(
+    generator_fn: Callable[[jax.Array], jax.Array],
+    inception_fn: Callable[[jax.Array], jax.Array],
+    key: jax.Array,
+    latent_dim: int,
+    n_sample: int,
+    batch_size: int,
+) -> np.ndarray:
+    """Batched z-sample -> generator -> inception features (fid.py:28-47)."""
+    n_batches = n_sample // batch_size
+    resid = n_sample - n_batches * batch_size
+    feats = []
+    for i in range(n_batches + (1 if resid else 0)):
+        bsz = batch_size if i < n_batches else resid
+        key, sub = jax.random.split(key)
+        z = jax.random.normal(sub, (bsz, latent_dim))
+        img = generator_fn(z)
+        feats.append(np.asarray(inception_fn(img)))
+    return np.concatenate(feats, axis=0)
+
+
+def get_model_fid_score(
+    generator_fn: Callable[[jax.Array], jax.Array],
+    inception_fn: Callable[[jax.Array], jax.Array],
+    real_stats_path: str,
+    key: Optional[jax.Array] = None,
+    latent_dim: int = 512,
+    n_sample: int = 50_000,
+    batch_size: int = 100,
+) -> float:
+    """Unconditional 50k-sample FID of a z->image generator (fid.py:76-130)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    features = extract_features_from_samples(
+        generator_fn, inception_fn, key, latent_dim, n_sample, batch_size
+    )
+    sample_mean, sample_cov = compute_inception_stats(features)
+    real_mean, real_cov = load_stats(real_stats_path)
+    return calc_fid(sample_mean, sample_cov, real_mean, real_cov)

@@ -91,8 +91,11 @@ class ResNet18Encoder(nn.Module):
             )
 
         if self.tensor_encoding:
-            # AvgPool(2,2): [N,8,8,512] -> [N,4,4,512].
-            tensor = nn.avg_pool(out, (2, 2), strides=(2, 2))
+            # AvgPool(2,2): [N,8,8,512] -> [N,4,4,512] at the reference's 256
+            # input (resnet_encoder.py:206-207).  The window adapts so the
+            # tensor head always emits the generator's 4x4 interface.
+            win = max(1, out.shape[1] // 4)
+            tensor = nn.avg_pool(out, (win, win), strides=(win, win))
             if self.tensor_transform:
                 flat = tensor.reshape(tensor.shape[0], -1)
                 vector = nn.Dense(512, dtype=self.dtype, name="ten_fc")(flat)
