@@ -79,15 +79,19 @@ class FaceManipulator:
         )
 
     def init_variables(self, key: jax.Array) -> Dict[str, Any]:
-        """Initialize all four variable collections on dummy inputs."""
+        """Initialize all four variable collections on dummy inputs.
+
+        Each init runs under jit (one fused XLA program per model) — eager
+        op-by-op init dispatches ~100 separate compiles, which is
+        pathologically slow on small hosts."""
         size = self.input_size
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         img = jnp.zeros((1, size, size, 3), jnp.float32)
-        v_tsr = self.e_tsr.init(k1, img)
-        v_w = self.e_w.init(k2, img)
-        v_wp = self.e_w_plus.init(k3, img)
+        v_tsr = jax.jit(self.e_tsr.init)(k1, img)
+        v_w = jax.jit(self.e_w.init)(k2, img)
+        v_wp = jax.jit(self.e_w_plus.init)(k3, img)
         z = jnp.zeros((1, self.generator.style_dim), jnp.float32)
-        v_g = self.generator.init({"params": k4, "noise": k5}, z)
+        v_g = jax.jit(self.generator.init)({"params": k4, "noise": k5}, z)
         return {"g": v_g, "e_tsr": v_tsr, "e_w": v_w, "e_w_plus": v_wp}
 
 

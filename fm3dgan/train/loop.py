@@ -64,8 +64,8 @@ class Trainer:
 
         variables = self.models.init_variables(k_models)
         img = jnp.zeros((1, config.size, config.size, 3), jnp.float32)
-        v_d = self.d_module.init(k_d, img)
-        v_d_edit = self.d_module.init(k_de, img)
+        v_d = jax.jit(self.d_module.init)(k_d, img)
+        v_d_edit = jax.jit(self.d_module.init)(k_de, img)
 
         params = {
             "g": variables["g"]["params"],
@@ -89,10 +89,12 @@ class Trainer:
         if use_lpips and "lpips" not in self.frozen:
             size = input_size or config.size
             dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-            self.frozen["lpips"] = self.lpips_module.init(k_lpips, dummy, dummy)
+            self.frozen["lpips"] = jax.jit(self.lpips_module.init)(
+                k_lpips, dummy, dummy
+            )
         if use_arcface and "arcface" not in self.frozen:
             dummy = jnp.zeros((1, 128, 128, 1), jnp.float32)
-            self.frozen["arcface"] = self.arcface_module.init(k_arc, dummy)
+            self.frozen["arcface"] = jax.jit(self.arcface_module.init)(k_arc, dummy)
 
         self.steps = make_step_fns(
             self.models,

@@ -239,7 +239,10 @@ def make_step_fns(
                 hmap = config.hmap_loss_lambda * heat_map_loss(
                     fake, render, heatmap_fn
                 )
-            face_reg = face_reg_l * face_regional_loss(render, fake)
+            if face_reg_l > 0:
+                face_reg = face_reg_l * face_regional_loss(render, fake)
+            else:
+                face_reg = jnp.zeros((), fake.dtype)
 
             total = g_loss + lpips + l1 + face_id + hmap + face_reg
             metrics = {

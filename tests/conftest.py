@@ -11,11 +11,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # torch (used only as a test oracle) deadlocks XLA-CPU's threadpool on
 # single-core boxes unless OpenMP is pinned to one thread.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# NB: the 8-virtual-device flag is NOT set globally — on small hosts it makes
+# XLA-CPU compilation pathologically slow.  Sharding tests (test_sharding.py)
+# spawn a subprocess with xla_force_host_platform_device_count=8.
 
 import jax  # noqa: E402
 

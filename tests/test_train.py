@@ -24,6 +24,11 @@ def trainer():
         path_reg_batch_shrink=2,
         lpips_loss_lambda=0.0,
         face_id_loss_lambda=0.0,
+        # encoder input (128px) and generator output (8px) sizes differ in
+        # this tiny stack, so the render-vs-output face-regional loss is off.
+        rec_face_reg_loss_lambda=0.0,
+        ds_face_reg_loss_lambda=0.0,
+        ep_face_reg_loss_lambda=0.0,
     )
     return Trainer(
         cfg, seed=0, use_lpips=False, use_arcface=False, input_size=128
