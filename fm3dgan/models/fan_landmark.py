@@ -182,8 +182,6 @@ def fan_heatmap_fn(fan_module: FAN, variables):
 
 def convert_fan(sd: Dict[str, Any]) -> Dict[str, Any]:
     """face-alignment 2DFAN-4 state dict -> FAN variables."""
-    import re
-
     import numpy as np
 
     params: Dict[str, Any] = {}
