@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persist compiled executables across bench invocations.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fm3dgan_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_A100_IMGS_PER_SEC = 200.0
 
 BATCH = 32
@@ -36,7 +40,9 @@ def main():
     models = FaceManipulator.create(
         size=SIZE, input_size=SIZE, dtype=jnp.bfloat16
     )
-    variables = models.init_variables(jax.random.PRNGKey(0))
+    # eval_shape-based init: values are irrelevant for throughput, and real
+    # init programs take minutes to compile on small hosts.
+    variables = models.init_variables_fast(seed=0)
 
     @jax.jit
     def step(photo, render):

@@ -78,6 +78,32 @@ class FaceManipulator:
             input_size=input_size,
         )
 
+    def init_variables_fast(self, seed: int = 0) -> Dict[str, Any]:
+        """Structurally-correct variables WITHOUT compiling the init programs.
+
+        Uses jax.eval_shape over the real inits to get the exact pytrees, then
+        fills leaves host-side (BatchNorm var -> 1, means/biases -> 0, weights
+        -> small normal).  Use for benchmarking / shape tooling where the
+        values don't matter; use init_variables for real training inits."""
+        import numpy as np
+
+        shapes = jax.eval_shape(
+            lambda k: self.init_variables(k), jax.random.PRNGKey(0)
+        )
+        rng = np.random.RandomState(seed)
+
+        def fill(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name == "var":
+                return jnp.ones(leaf.shape, leaf.dtype)
+            if name in ("mean", "bias"):
+                return jnp.zeros(leaf.shape, leaf.dtype)
+            return jnp.asarray(
+                rng.normal(0, 0.05, leaf.shape).astype(leaf.dtype)
+            )
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
+
     def init_variables(self, key: jax.Array) -> Dict[str, Any]:
         """Initialize all four variable collections on dummy inputs.
 
