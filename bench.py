@@ -44,25 +44,44 @@ def main():
     # init programs take minutes to compile on small hosts.
     variables = models.init_variables_fast(seed=0)
 
+    # NB: variables must be jit ARGUMENTS — closing over them bakes every
+    # weight into the HLO as constants (the remote-compile payload then
+    # exceeds the transport's size limit).
     @jax.jit
-    def step(photo, render):
+    def step(variables, photo, render):
         img, _ = forward_3_encoder(models, variables, photo, render)
         return img
 
     rng = np.random.RandomState(0)
-    photo = jnp.asarray(rng.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
-    render = jnp.asarray(rng.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
+    # Distinct inputs per timed call + per-call sync: with identical repeated
+    # args and one trailing sync, the remote-execution tunnel overlaps/dedups
+    # calls and reports physically impossible throughput.
+    photos = [
+        jnp.asarray(rng.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
+        for _ in range(4)
+    ]
+    renders = [
+        jnp.asarray(rng.uniform(-1, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32))
+        for _ in range(4)
+    ]
 
-    for _ in range(WARMUP):
-        step(photo, render).block_until_ready()
+    def sync(x):
+        # block_until_ready is a no-op over the remote-TPU tunnel; a host
+        # read is the only reliable synchronization.
+        return float(jnp.sum(x.astype(jnp.float32)))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(photo, render)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    for i in range(WARMUP):
+        sync(step(variables, photos[i % 4], renders[i % 4]))
 
-    imgs_per_sec = BATCH * ITERS / dt
+    times = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        out = step(variables, photos[i % 4], renders[(i + 1) % 4])
+        sync(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    imgs_per_sec = BATCH / dt
     print(
         json.dumps(
             {
