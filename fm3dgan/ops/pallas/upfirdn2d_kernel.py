@@ -3,17 +3,22 @@
 TPU counterpart of the reference CUDA fast paths
 (``/root/reference/op/upfirdn2d_kernel.cu:107-207``, mode dispatch ``:250-309``).
 
-Implemented modes:
-  * blur (up=down=1, small k, C % 128 == 0): the dominant StyleGAN2 config
-    (post-conv-transpose blur, discriminator pre-conv blur).  XLA's depthwise
-    conv lowering reaches only ~30% of HBM roofline on v5e; this kernel tiles
-    rows with halo DMA from HBM and does k*k shifted multiply-adds in VMEM.
-Everything else falls back to the XLA path (fm3dgan/ops/upfirdn2d.py), which
-also provides the C<128 polyphase upsample specialization.
+Implemented mode: blur (up=down=1, separable or small 2D kernel,
+C % 128 == 0) — the dominant StyleGAN2 config (post-conv-transpose blur,
+discriminator pre-conv blur).
+
+Kernel structure:
+  * 1-D grid over (N x row-tiles x C-tiles) with a DOUBLE-BUFFERED halo DMA
+    pipeline: the copy for grid step g+1 is issued before computing step g,
+    overlapping HBM reads with VPU work.
+  * separable kernels (StyleGAN2's [1,3,3,1] outer product is rank-1) filter
+    rows first — shifts along the leading (row) axis are free — then columns
+    (kw sublane shifts), i.e. kh+kw shifted MADs instead of kh*kw.
+  * edge zeroing reproduces the op's implicit zero padding.
 
 Gradient: blur's adjoint is blur with the flipped kernel and complementary
 pads (the reference's flip-kernel/swap-pad backward, op/upfirdn2d.py:120-151),
-wired as a jax.custom_vjp below.
+wired as a jax.custom_vjp.
 """
 
 from __future__ import annotations
@@ -38,73 +43,146 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _blur_kernel_body(
-    x_hbm, o_ref, scratch, sem, *, kf, T, H, W, OW, p0, p1, kh, kw, n_h_tiles
+def _separate(kf) -> Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]]:
+    """Rank-1 factorization kf = kcol (x) krow, or None."""
+    a = np.asarray(kf, np.float64)
+    if np.linalg.matrix_rank(a, tol=1e-9) != 1:
+        return None
+    u, s, vt = np.linalg.svd(a)
+    kcol = u[:, 0] * s[0]
+    krow = vt[0, :]
+    if abs(kcol.sum()) > 1e-12:  # normalize sign for reproducibility
+        if kcol.sum() < 0:
+            kcol, krow = -kcol, -krow
+    return tuple(float(v) for v in kcol), tuple(float(v) for v in krow)
+
+
+def _blur_body(
+    x_hbm, o_ref, scratch, sems, *,
+    kf, sep, T, H, W, OW, p0, p1, kh, kw, n_h_tiles, n_c_tiles, n_steps,
 ):
-    n = pl.program_id(0)
-    h = pl.program_id(1)
-    c = pl.program_id(2)
+    g = pl.program_id(0)
     halo = kh - 1
-    w_lo = p0  # input columns land at scratch[:, p0 : p0 + W, :]
+    rows = T + halo
 
-    # Zero the W-axis padding strips (and any alignment tail).
-    if w_lo > 0:
-        scratch[:, 0:w_lo, :] = jnp.zeros_like(scratch[:, 0:w_lo, :])
-    if scratch.shape[1] > w_lo + W:
-        scratch[:, w_lo + W :, :] = jnp.zeros_like(scratch[:, w_lo + W :, :])
+    def coords(step):
+        c = step % n_c_tiles
+        h = (step // n_c_tiles) % n_h_tiles
+        n = step // (n_c_tiles * n_h_tiles)
+        return n, h, c
 
-    first = h == 0
-    last = h == n_h_tiles - 1
-
-    # Valid input rows for this tile: [h*T - p0, h*T - p0 + T + halo).
-    # Top tile misses p0 rows at the start; bottom tile misses p1 at the end.
-    def dma(rows_off_scratch, row_start, n_rows):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(row_start, n_rows), :, pl.ds(c * _C_TILE, _C_TILE)],
-            scratch.at[pl.ds(rows_off_scratch, n_rows), pl.ds(w_lo, W), :],
-            sem,
-        )
-        cp.start()
-        cp.wait()
-
-    if n_h_tiles == 1:
-        # Single tile: zero both row borders, copy all H rows.
+    def issue(step, slot):
+        """Zero borders of `slot` and start its halo DMA."""
+        n, h, c = coords(step)
+        sl = scratch.at[slot]
         if p0 > 0:
-            scratch[0:p0, :, :] = jnp.zeros_like(scratch[0:p0, :, :])
-        if T + halo > p0 + H:
-            scratch[p0 + H :, :, :] = jnp.zeros_like(scratch[p0 + H :, :, :])
-        dma(p0, 0, H)
-    else:
+            sl[:, 0:p0, :] = jnp.zeros_like(sl[:, 0:p0, :])
+        if scratch.shape[2] > p0 + W:
+            sl[:, p0 + W :, :] = jnp.zeros_like(sl[:, p0 + W :, :])
 
-        @pl.when(first)
-        def _():
+        def start(rows_off, row_start, n_rows):
+            pltpu.make_async_copy(
+                x_hbm.at[
+                    n, pl.ds(row_start, n_rows), :, pl.ds(c * _C_TILE, _C_TILE)
+                ],
+                sl.at[pl.ds(rows_off, n_rows), pl.ds(p0, W), :],
+                sems.at[slot],
+            ).start()
+
+        if n_h_tiles == 1:
             if p0 > 0:
-                scratch[0:p0, :, :] = jnp.zeros_like(scratch[0:p0, :, :])
-            dma(p0, 0, T + halo - p0)
+                sl[0:p0, :, :] = jnp.zeros_like(sl[0:p0, :, :])
+            if rows > p0 + H:
+                sl[p0 + H :, :, :] = jnp.zeros_like(sl[p0 + H :, :, :])
+            start(p0, 0, H)
+        else:
+            first = h == 0
+            last = h == n_h_tiles - 1
 
-        @pl.when(last)
-        def _():
-            if p1 > 0:
-                scratch[T + halo - p1 :, :, :] = jnp.zeros_like(
-                    scratch[T + halo - p1 :, :, :]
-                )
-            dma(0, h * T - p0, T + halo - p1)
+            @pl.when(first)
+            def _():
+                if p0 > 0:
+                    sl[0:p0, :, :] = jnp.zeros_like(sl[0:p0, :, :])
+                start(p0, 0, T + halo - p0)
 
-        @pl.when(jnp.logical_and(jnp.logical_not(first), jnp.logical_not(last)))
-        def _():
-            dma(0, h * T - p0, T + halo)
+            @pl.when(last)
+            def _():
+                if p1 > 0:
+                    sl[rows - p1 :, :, :] = jnp.zeros_like(sl[rows - p1 :, :, :])
+                start(0, h * T - p0, T + halo - p1)
 
-    acc = jnp.zeros((T, OW, _C_TILE), scratch.dtype)
-    for i in range(kh):
+            @pl.when(jnp.logical_and(~first, ~last))
+            def _():
+                start(0, h * T - p0, T + halo)
+
+    def wait(step, slot):
+        n, h, c = coords(step)
+        # Matching wait: the copy shape must match the started one.
+        def w_(rows_off, row_start, n_rows):
+            pltpu.make_async_copy(
+                x_hbm.at[
+                    n, pl.ds(row_start, n_rows), :, pl.ds(c * _C_TILE, _C_TILE)
+                ],
+                scratch.at[slot].at[pl.ds(rows_off, n_rows), pl.ds(p0, W), :],
+                sems.at[slot],
+            ).wait()
+
+        if n_h_tiles == 1:
+            w_(p0, 0, H)
+        else:
+            first = h == 0
+            last = h == n_h_tiles - 1
+
+            @pl.when(first)
+            def _():
+                w_(p0, 0, T + halo - p0)
+
+            @pl.when(last)
+            def _():
+                w_(0, h * T - p0, T + halo - p1)
+
+            @pl.when(jnp.logical_and(~first, ~last))
+            def _():
+                w_(0, h * T - p0, T + halo)
+
+    slot = jax.lax.rem(g, 2)
+    nxt = jax.lax.rem(g + 1, 2)
+
+    @pl.when(g == 0)
+    def _():
+        issue(g, slot)
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        issue(g + 1, nxt)
+
+    wait(g, slot)
+
+    s0 = scratch.at[slot]
+    if sep is not None:
+        kcol, krow = sep
+        # Rows pass: shifts along the (free) leading axis.
+        tmp = jnp.zeros((T, scratch.shape[2], _C_TILE), o_ref.dtype)
+        for i in range(kh):
+            tmp = tmp + float(kcol[kh - 1 - i]) * s0[i : i + T, :, :]
+        # Cols pass: kw sublane shifts.
+        acc = jnp.zeros((T, OW, _C_TILE), o_ref.dtype)
         for j in range(kw):
-            acc = acc + float(kf[i][j]) * scratch[i : i + T, j : j + OW, :]
+            acc = acc + float(krow[kw - 1 - j]) * tmp[:, j : j + OW, :]
+    else:
+        acc = jnp.zeros((T, OW, _C_TILE), o_ref.dtype)
+        for i in range(kh):
+            for j in range(kw):
+                acc = acc + float(kf[kh - 1 - i][kw - 1 - j]) * s0[
+                    i : i + T, j : j + OW, :
+                ]
     o_ref[0, :, :, :] = acc
 
 
-@functools.partial(
-    jax.jit, static_argnames=("kf", "p0", "p1")
-)
+@functools.partial(jax.jit, static_argnames=("kf", "p0", "p1"))
 def _blur_pallas(x, kf: Tuple[Tuple[float, ...], ...], p0: int, p1: int):
+    """kf is the UNFLIPPED kernel; flipping is folded into the tap indexing
+    (kf[kh-1-i]) inside the body, matching true convolution."""
     n, h, w, c = x.shape
     kh = len(kf)
     kw = len(kf[0])
@@ -112,19 +190,22 @@ def _blur_pallas(x, kf: Tuple[Tuple[float, ...], ...], p0: int, p1: int):
     ow = w + p0 + p1 - kw + 1
     halo = kh - 1
 
-    # Row tile: divide OH evenly; keep scratch ~<= 4MB.
+    # Row tile: divide OH evenly; keep the two scratch slots ~<= 2x3MB.
     T = oh
-    max_rows = max(8, (4 * 1024 * 1024) // ((w + 8) * _C_TILE * x.dtype.itemsize))
+    max_rows = max(8, (3 * 1024 * 1024) // ((w + 8) * _C_TILE * x.dtype.itemsize))
     for cand in range(min(oh, max_rows), 0, -1):
         if oh % cand == 0:
             T = cand
             break
     n_h_tiles = oh // T
+    n_c_tiles = c // _C_TILE
+    n_steps = n * n_h_tiles * n_c_tiles
     w_pad = _round_up(w + p0 + p1, 8)
 
     body = functools.partial(
-        _blur_kernel_body,
+        _blur_body,
         kf=kf,
+        sep=_separate(kf),
         T=T,
         H=h,
         W=w,
@@ -134,20 +215,27 @@ def _blur_pallas(x, kf: Tuple[Tuple[float, ...], ...], p0: int, p1: int):
         kh=kh,
         kw=kw,
         n_h_tiles=n_h_tiles,
+        n_c_tiles=n_c_tiles,
+        n_steps=n_steps,
     )
+
+    def out_index(g):
+        c_ = g % n_c_tiles
+        h_ = (g // n_c_tiles) % n_h_tiles
+        n_ = g // (n_c_tiles * n_h_tiles)
+        return (n_, h_, 0, c_)
+
     return pl.pallas_call(
         body,
-        grid=(n, n_h_tiles, c // _C_TILE),
+        grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, T, ow, _C_TILE),
-            lambda n_, h_, c_: (n_, h_, 0, c_),
-            memory_space=pltpu.VMEM,
+            (1, T, ow, _C_TILE), out_index, memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((T + halo, w_pad, _C_TILE), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, T + halo, w_pad, _C_TILE), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
     )(x)
@@ -155,10 +243,8 @@ def _blur_pallas(x, kf: Tuple[Tuple[float, ...], ...], p0: int, p1: int):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def blur_pallas(x, kf, p0: int, p1: int):
-    """Blur (up=down=1) via the Pallas kernel.  kf: nested tuple kernel
-    (NOT flipped; flipping happens here to match true convolution)."""
-    kflip = tuple(tuple(reversed(row)) for row in reversed(kf))
-    return _blur_pallas(x, kflip, p0, p1)
+    """Blur (up=down=1) via the Pallas kernel; true convolution with kf."""
+    return _blur_pallas(x, kf, p0, p1)
 
 
 def _blur_fwd(x, kf, p0, p1):
@@ -168,9 +254,9 @@ def _blur_fwd(x, kf, p0, p1):
 def _blur_bwd(kf, p0, p1, _, g):
     kh = len(kf)
     kw = len(kf[0])
-    # Adjoint: correlate grad with the kernel (un-flipped) and complementary
-    # pads (kh-1-p0, kw-1-p1) — the reference's UpFirDn2dBackward for
-    # up=down=1 (op/upfirdn2d.py:120-151).
+    # Adjoint: convolution with the flipped kernel and complementary pads
+    # (kh-1-p0, kw-1-p1) — the reference's UpFirDn2dBackward for up=down=1
+    # (op/upfirdn2d.py:120-151).
     kflip = tuple(tuple(reversed(row)) for row in reversed(kf))
     dx = blur_pallas(g, kflip, kh - 1 - p0, kw - 1 - p1)
     return (dx,)

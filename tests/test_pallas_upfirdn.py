@@ -43,7 +43,10 @@ def test_pallas_blur_asymmetric_kernel():
     )
     ref = _upfirdn2d_xla(x, k, 1, 1, 1, 1, 2, 1, 2, 1)
     got = upfirdn2d_pallas_maybe(x, k, 1, 1, 1, 1, 2, 1, 2, 1)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # separable SVD factorization: tiny fp deviation allowed
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-5
+    )
 
 
 def test_pallas_blur_gradient_matches_xla():
