@@ -14,6 +14,7 @@ from typing import Any, List, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fm3dgan.nn.layers import EqualLinear
 
@@ -59,34 +60,37 @@ def get_blocks(num_layers: int) -> List[List[Tuple[int, int, int]]]:
     raise ValueError(f"num_layers must be in (18, 50, 100, 152), got {num_layers}")
 
 
+def _align_corners_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] interpolation matrix for align_corners=True bilinear."""
+    m = np.zeros((out_size, in_size), np.float32)
+    if out_size == 1:
+        m[0, 0] = 1.0
+        return m
+    src = np.arange(out_size) * ((in_size - 1) / (out_size - 1))
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    m[np.arange(out_size), lo] += 1.0 - frac
+    m[np.arange(out_size), hi] += frac
+    return m
+
+
 def bilinear_resize_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Bilinear resize with align_corners=True semantics, NHWC.
 
     (jax.image.resize only offers half-pixel-center sampling; pSp's FPN uses
     align_corners=True, psp_encoders.py:99-100.)
+
+    TPU-native formulation: two small dense interpolation matmuls (static
+    weight matrices) instead of gathers, which are slow on TPU.
     """
     n, h, w, c = x.shape
     if h == out_h and w == out_w:
         return x
-
-    def axis_weights(in_size, out_size):
-        if out_size == 1:
-            src = jnp.zeros((1,))
-        else:
-            src = jnp.arange(out_size) * ((in_size - 1) / (out_size - 1))
-        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
-        hi = jnp.clip(lo + 1, 0, in_size - 1)
-        frac = (src - lo).astype(x.dtype)
-        return lo, hi, frac
-
-    ylo, yhi, yf = axis_weights(h, out_h)
-    xlo, xhi, xf = axis_weights(w, out_w)
-    top = jnp.take(x, ylo, axis=1)
-    bot = jnp.take(x, yhi, axis=1)
-    rows = top + (bot - top) * yf[None, :, None, None]
-    left = jnp.take(rows, xlo, axis=2)
-    right = jnp.take(rows, xhi, axis=2)
-    return left + (right - left) * xf[None, None, :, None]
+    wy = jnp.asarray(_align_corners_matrix(h, out_h), x.dtype)
+    wx = jnp.asarray(_align_corners_matrix(w, out_w), x.dtype)
+    x = jnp.einsum("oh,nhwc->nowc", wy, x)
+    return jnp.einsum("ow,nhwc->nhoc", wx, x)
 
 
 class PReLU(nn.Module):
