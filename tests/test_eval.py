@@ -1,0 +1,182 @@
+"""Evaluation suite unit tests: FID math, PPL machinery, visual grids,
+quant-eval plumbing, projector — all on tiny stacks."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fm3dgan.eval.fid import calc_fid, compute_inception_stats, load_stats, save_stats
+
+
+def test_calc_fid_identity_and_shift():
+    rng = np.random.RandomState(0)
+    f = rng.randn(500, 16).astype(np.float64)
+    m, c = compute_inception_stats(f)
+    assert calc_fid(m, c, m, c) < 1e-6
+    # Mean shift by d adds ||d||^2.
+    d = np.full(16, 0.5)
+    fid = calc_fid(m + d, c, m, c)
+    np.testing.assert_allclose(fid, 16 * 0.25, atol=1e-4)
+
+
+def test_stats_save_load_roundtrip(tmp_path):
+    m = np.arange(4.0)
+    c = np.eye(4)
+    p = str(tmp_path / "stats.pkl")
+    save_stats(p, m, c)
+    m2, c2 = load_stats(p)
+    np.testing.assert_array_equal(m, m2)
+    np.testing.assert_array_equal(c, c2)
+
+
+def test_ppl_score_pipeline():
+    from fm3dgan.eval.ppl import get_ppl_score
+
+    # Toy "generator": image = broadcast of W; lpips = mean abs diff.
+    def style_fn(z):
+        return z * 2.0
+
+    def synthesis_fn(w):
+        return jnp.tile(w[:, None, None, :8], (1, 4, 4, 1))
+
+    def lpips_fn(a, b):
+        return jnp.mean(jnp.abs(a - b), axis=(1, 2, 3))
+
+    ppl = get_ppl_score(
+        style_fn, synthesis_fn, lpips_fn, n_sample=64, batch_size=16,
+        latent_dim=16, eps=1e-2,
+    )
+    # dist = eps * mean|l1 - l0| per pair > 0, finite.
+    assert np.isfinite(ppl) and ppl > 0
+
+
+def test_visual_eval_grid_and_gif(tmp_path):
+    from fm3dgan.eval.visual_eval import (
+        get_batch_eval_result,
+        grid_to_image,
+        render_sequence_gif,
+        tensor_to_image,
+    )
+
+    def forward_fn(photos, renders):
+        return (photos + renders) / 2.0
+
+    rng = np.random.RandomState(0)
+    photos = rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32)
+    renders = rng.uniform(-1, 1, (3, 8, 8, 3)).astype(np.float32)
+    grid = get_batch_eval_result(forward_fn, photos, renders)
+    assert grid.shape == (2, 3, 8, 8, 3) and grid.dtype == np.uint8
+    img = grid_to_image(grid)
+    assert img.shape == (2 * 10 + 2, 3 * 10 + 2, 3)
+
+    t = tensor_to_image(np.asarray([[[[-1.0, 0.0, 1.0]]]]))
+    assert list(t.reshape(-1)) == [0, 128, 255]
+
+    gif_path = str(tmp_path / "seq.gif")
+    frames = render_sequence_gif(
+        forward_fn, photos[0], [renders[0], renders[1]], out_path=gif_path
+    )
+    assert len(frames) == 2
+    import os
+
+    assert os.path.exists(gif_path)
+
+    from fm3dgan.eval.visual_eval import load_gif_as_image_list
+
+    loaded = load_gif_as_image_list(gif_path, size=8)
+    assert len(loaded) == 2 and loaded[0].shape == (8, 8, 3)
+
+
+def test_quant_eval_scores_with_toy_models():
+    from fm3dgan.eval.quant_eval import (
+        compute_face_identity_similarity,
+        get_edit_score,
+        get_recon_score,
+    )
+
+    rng = np.random.RandomState(1)
+
+    def forward_fn(photo, render):
+        return (np.asarray(photo) * 0.9 + np.asarray(render) * 0.1).astype(
+            np.float32
+        )
+
+    def face_rec_fn(x):
+        x = np.asarray(x)
+        return x.reshape(x.shape[0], -1)[:, :32]
+
+    def lpips_fn(a, b):
+        return np.mean(np.abs(np.asarray(a) - np.asarray(b)), axis=(1, 2, 3))
+
+    def inception_fn(x):
+        x = np.asarray(x)
+        return x.reshape(x.shape[0], -1)[:, :64]
+
+    batches = [
+        (
+            rng.uniform(-1, 1, (4, 256, 256, 3)).astype(np.float32),
+            rng.uniform(-1, 1, (4, 256, 256, 3)).astype(np.float32),
+        )
+        for _ in range(2)
+    ]
+    cos, lp, l1 = get_recon_score(batches, forward_fn, face_rec_fn, lpips_fn)
+    assert 0.8 < cos <= 1.0  # output ~= photo
+    assert l1 > 0 and lp > 0
+
+    # Identity similarity of identical tensors is exactly 1.
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 256, 256, 3)).astype(np.float32))
+    sim = compute_face_identity_similarity(x, x, face_rec_fn)
+    np.testing.assert_allclose(sim, 1.0, atol=1e-6)
+
+    # Edit score with precomputed toy stats.
+    edit_batches = [
+        [rng.uniform(-1, 1, (2, 256, 256, 3)).astype(np.float32)]
+        + [
+            rng.uniform(-1, 1, (2, 256, 256, 3)).astype(np.float32)
+            for _ in range(4)
+        ]
+    ]
+    feats = rng.randn(200, 64)
+    real_stats = (feats.mean(0), np.cov(feats, rowvar=False))
+    cos, fid, hmap, lmark, freg = get_edit_score(
+        edit_batches, forward_fn, face_rec_fn, inception_fn,
+        real_stats=real_stats,
+    )
+    assert np.isfinite(fid) and np.isfinite(cos) and np.isfinite(freg)
+    assert math.isnan(hmap) and math.isnan(lmark)  # no landmark stack given
+
+
+def test_projector_recovers_simple_target():
+    from fm3dgan.eval.projector import ProjectorConfig, project_image
+    from fm3dgan.models import Generator
+
+    g = Generator(size=8, style_dim=32, n_mlp=1)
+    g_vars = jax.jit(g.init)(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32)),
+    )
+    target = g.apply(
+        g_vars,
+        jnp.asarray(np.random.RandomState(2).randn(1, 32).astype(np.float32)),
+        randomize_noise=False,
+    )
+    cfg = ProjectorConfig(steps=30, lr=0.05, lpips_start_step=10**9)
+    res = project_image(g, g_vars, target, jax.random.PRNGKey(3), config=cfg)
+    assert res["image"].shape == target.shape
+    # Loss must decrease.
+    assert res["losses"][-1] < res["losses"][0]
+
+
+def test_fan_landmark_decoding():
+    from fm3dgan.models.fan_landmark import heatmaps_to_landmarks
+
+    hm = np.zeros((1, 64, 64, 68), np.float32)
+    # Put peaks at known locations with asymmetric neighbors.
+    hm[0, 10, 20, :] = 1.0
+    hm[0, 10, 21, :] = 0.5  # pull +0.25 in x
+    lm = np.asarray(heatmaps_to_landmarks(jnp.asarray(hm)))
+    np.testing.assert_allclose(lm[0, 0, 0], 20.25, atol=1e-5)
+    np.testing.assert_allclose(lm[0, 0, 1], 10.0, atol=0.26)
