@@ -47,6 +47,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
             p.add_argument(flag, type=str, default=f.default)
     p.add_argument("--exp_dir", type=str, default="./Exp")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--input_size", type=int, default=None,
+                   help="encoder input resolution (default: --size)")
     p.add_argument("--fake_data", action="store_true")
     p.add_argument("--rec_data_dir", type=str, default=None,
                    help="dir with img/ and render_img/ subfolders")
@@ -66,9 +68,10 @@ def make_loaders(args, cfg: TrainConfig):
     if args.fake_data:
         from fm3dgan.data import RandomFakeData
 
-        rec = RandomFakeData(cfg.rec_batch, cfg.size, seed=1)
-        ds = RandomFakeData(cfg.ds_batch, cfg.size, seed=2)
-        ep = RandomFakeData(cfg.ds_batch * 2, cfg.size, seed=3)
+        size = args.input_size or cfg.size
+        rec = RandomFakeData(cfg.rec_batch, size, seed=1)
+        ds = RandomFakeData(cfg.ds_batch, size, seed=2)
+        ep = RandomFakeData(cfg.ds_batch * 2, size, seed=3)
         return rec, ds, ep
 
     from fm3dgan.data import (
@@ -133,7 +136,9 @@ def main():
     os.makedirs(ckpt_dir, exist_ok=True)
     log_path = os.path.join(args.exp_dir, "training_log.jsonl")
 
-    trainer = Trainer(cfg, seed=args.seed, mesh=mesh)
+    trainer = Trainer(
+        cfg, seed=args.seed, mesh=mesh, input_size=args.input_size
+    )
     start_iter = 0
     if args.resume_dir:
         trainer.load_checkpoint(args.resume_dir, args.resume_step)
@@ -151,6 +156,13 @@ def main():
                 rec, ds, ds_flag, extreme_loader=ep or ds,
                 extreme_ds_flag=ep_flag,
             )
+            if g_ref.shape[1] != cfg.size:
+                # Smoke-test path (generator smaller than encoder input):
+                # box-downsample refs to the generated resolution.
+                f = g_ref.shape[1] // cfg.size
+                g_ref = g_ref.reshape(
+                    g_ref.shape[0], cfg.size, f, cfg.size, f, 3
+                ).mean(axis=(2, 4))
             metrics = trainer.train_iteration(i, g_input, r_input, g_ref)
             dt = time.time() - t0
             line = {
