@@ -40,7 +40,11 @@ class Trainer:
         use_lpips: bool = True,
         use_arcface: bool = True,
         input_size: Optional[int] = None,
+        fast_init: bool = False,
     ):
+        """fast_init: build structurally-correct random variables via
+        jax.eval_shape (no init compiles) — for benchmarking, where parameter
+        values are irrelevant.  Real training uses the proper initializers."""
         self.config = config
         self.models = FaceManipulator.create(
             size=config.size,
@@ -62,10 +66,25 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         k_models, k_d, k_de, k_lpips, k_arc, self._key = jax.random.split(key, 6)
 
-        variables = self.models.init_variables(k_models)
+        if fast_init:
+            variables = self.models.init_variables_fast(seed=seed)
+        else:
+            variables = self.models.init_variables(k_models)
         img = jnp.zeros((1, config.size, config.size, 3), jnp.float32)
-        v_d = jax.jit(self.d_module.init)(k_d, img)
-        v_d_edit = jax.jit(self.d_module.init)(k_de, img)
+        if fast_init:
+            v_shapes = jax.eval_shape(self.d_module.init, k_d, img)
+            rng0 = np.random.RandomState(seed + 1)
+            mk = lambda shapes: jax.tree.map(
+                lambda l: jnp.asarray(
+                    rng0.normal(0, 0.05, l.shape).astype(l.dtype)
+                ),
+                shapes,
+            )
+            v_d = mk(v_shapes)
+            v_d_edit = mk(v_shapes)
+        else:
+            v_d = jax.jit(self.d_module.init)(k_d, img)
+            v_d_edit = jax.jit(self.d_module.init)(k_de, img)
 
         params = {
             "g": variables["g"]["params"],
@@ -89,12 +108,38 @@ class Trainer:
         if use_lpips and "lpips" not in self.frozen:
             size = input_size or config.size
             dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-            self.frozen["lpips"] = jax.jit(self.lpips_module.init)(
-                k_lpips, dummy, dummy
-            )
+            if fast_init:
+                shapes = jax.eval_shape(self.lpips_module.init, k_lpips, dummy, dummy)
+                rngl = np.random.RandomState(seed + 2)
+                self.frozen["lpips"] = jax.tree.map(
+                    lambda l: jnp.asarray(
+                        rngl.normal(0, 0.05, l.shape).astype(l.dtype)
+                    ),
+                    shapes,
+                )
+            else:
+                self.frozen["lpips"] = jax.jit(self.lpips_module.init)(
+                    k_lpips, dummy, dummy
+                )
         if use_arcface and "arcface" not in self.frozen:
             dummy = jnp.zeros((1, 128, 128, 1), jnp.float32)
-            self.frozen["arcface"] = jax.jit(self.arcface_module.init)(k_arc, dummy)
+            if fast_init:
+                shapes = jax.eval_shape(self.arcface_module.init, k_arc, dummy)
+                rnga = np.random.RandomState(seed + 3)
+                def fill_a(path, l):
+                    name = path[-1].key if hasattr(path[-1], "key") else ""
+                    if name == "var":
+                        return jnp.ones(l.shape, l.dtype)
+                    if name == "mean":
+                        return jnp.zeros(l.shape, l.dtype)
+                    return jnp.asarray(
+                        rnga.normal(0, 0.05, l.shape).astype(l.dtype)
+                    )
+                self.frozen["arcface"] = jax.tree_util.tree_map_with_path(
+                    fill_a, shapes
+                )
+            else:
+                self.frozen["arcface"] = jax.jit(self.arcface_module.init)(k_arc, dummy)
 
         self.steps = make_step_fns(
             self.models,

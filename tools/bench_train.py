@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Training-step throughput benchmark (BASELINE.json configs 3-4).
+
+Measures the full reference iteration — D step + lazy R1 + G step (GAN + L1 +
+LPIPS + ArcFace-ID losses) + lazy PPL + EMA — at 256px on the TPU, and the
+amortized images/sec including regularizer cadence (R1 every 16, PPL every 4).
+
+  python tools/bench_train.py [--batch 8] [--iters 8] [--dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fm3dgan_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def sync(state):
+    # Host read: block_until_ready is a no-op over the remote-TPU tunnel.
+    leaf = jax.tree.leaves(state.params["g"])[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--no_frozen", action="store_true",
+                   help="skip LPIPS/ArcFace losses")
+    args = p.parse_args()
+
+    from fm3dgan.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        size=args.size,
+        rec_batch=args.batch,
+        ds_batch=args.batch,
+        compute_dtype=args.dtype,
+        lpips_loss_lambda=0.0 if args.no_frozen else 3.0,
+        face_id_loss_lambda=0.0 if args.no_frozen else 30.0,
+    )
+    t0 = time.time()
+    trainer = Trainer(
+        cfg,
+        seed=0,
+        use_lpips=not args.no_frozen,
+        use_arcface=not args.no_frozen,
+        fast_init=True,
+    )
+    print(f"# trainer built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.RandomState(0)
+    s = args.size
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        photo = r.uniform(-1, 1, (args.batch, s, s, 3)).astype(np.float32)
+        render = r.uniform(-1, 1, (args.batch, s, s, 3)).astype(np.float32)
+        render[:, : s // 8] = -1.0
+        return photo, render, photo.copy()
+
+    # Warmup / compile each variant (iter 0 = rec + R1 + PPL; iter 1 = DS).
+    for i in range(2):
+        trainer.train_iteration(i, *batch(i))
+    sync(trainer.state)
+    print("# compiled", file=sys.stderr)
+
+    times = []
+    for i in range(args.iters):
+        pb = batch(100 + i)
+        t0 = time.perf_counter()
+        trainer.train_iteration(i + 16, *pb)  # cadence: i%16 triggers regs
+        sync(trainer.state)
+        times.append(time.perf_counter() - t0)
+    # times[0] covers the R1+PPL iteration (i=16); others alternate rec/DS.
+    dt = float(np.median(times))
+    imgs_per_sec = args.batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip_256px",
+                "value": round(imgs_per_sec, 2),
+                "unit": "img/s",
+                "batch": args.batch,
+                "median_step_s": round(dt, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

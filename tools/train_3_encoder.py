@@ -133,7 +133,9 @@ def main():
 
     os.makedirs(args.exp_dir, exist_ok=True)
     ckpt_dir = os.path.join(args.exp_dir, "ckpt")
+    sample_dir = os.path.join(args.exp_dir, "sample")
     os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(sample_dir, exist_ok=True)
     log_path = os.path.join(args.exp_dir, "training_log.jsonl")
 
     trainer = Trainer(
@@ -182,8 +184,52 @@ def main():
                 + (" [DS]" if ds_flag else "")
                 + (" [EP]" if ep_flag else "")
             )
+            # Visual sample grid every val_sample_freq iters with the EMA
+            # generator (Sample_Eval_Save_Ckpt, train_3_encoder.py:667-706).
+            if i % cfg.val_sample_freq == 0 and i > 0:
+                _save_sample_grid(trainer, g_input, r_input, sample_dir, i)
+
             if i % cfg.model_save_freq == 0 and i > 0:
                 trainer.save_checkpoint(ckpt_dir, i)
+
+
+def _save_sample_grid(trainer, photos, renders, sample_dir, step, n=4):
+    """Photo x render editing grid PNG from the EMA generator."""
+    import jax
+
+    from fm3dgan.eval.visual_eval import (
+        get_batch_eval_result,
+        grid_to_image,
+        save_image,
+    )
+    from fm3dgan.pipeline.forward import forward_3_encoder
+
+    state = trainer.state
+    variables = {
+        "g": {"params": state.g_ema_params, **state.stats["g"]},
+        "e_tsr": {"params": state.params["e_tsr"], **state.stats["e_tsr"]},
+        "e_w": {"params": state.params["e_w"], **state.stats["e_w"]},
+        "e_w_plus": {
+            "params": state.params["e_w_plus"], **state.stats["e_w_plus"]
+        },
+    }
+    cfg = trainer.config
+
+    def forward_fn(p, r):
+        import jax.numpy as jnp
+
+        img, _ = forward_3_encoder(
+            trainer.models, variables, jnp.asarray(p), jnp.asarray(r),
+            tsr_encode=cfg.tsr_encode,
+            sliced_layer=cfg.w_plus_sliced_layer,
+            use_tanh=cfg.use_tanh,
+        )
+        return img
+
+    grid = get_batch_eval_result(forward_fn, photos[:n], renders[:n])
+    save_image(
+        os.path.join(sample_dir, f"{step:06d}.png"), grid_to_image(grid)
+    )
 
 
 if __name__ == "__main__":
