@@ -190,6 +190,10 @@ class Trainer:
             self._last_r1 = r1_m["r1"]
         metrics["r1"] = self._last_r1
 
+        will_g_reg = cfg.use_g_reg and iter_idx % cfg.g_reg_every == 0
+        # EMA is fused into the LAST G update of the iteration (one EMA
+        # application per iteration, after all updates — the reference's
+        # accumulate() placement, train_3_encoder.py:822).
         self.state, g_m = self.steps["g_step"](
             self.state,
             photo,
@@ -200,24 +204,27 @@ class Trainer:
             use_edit,
             ds_flag,
             extreme,
+            False,
+            not will_g_reg,
         )
         metrics.update(g_m)
 
-        if cfg.use_g_reg and iter_idx % cfg.g_reg_every == 0:
-            # Host-side random subset (train_3_encoder.py:568-570).
+        if will_g_reg:
+            # Host-side random subset CHOICE (train_3_encoder.py:568-570) but
+            # device-side slicing — pulling the batch back to the host costs a
+            # full tunnel round-trip.
             bsz = photo.shape[0]
             path_bsz = max(1, bsz // cfg.path_reg_batch_shrink)
-            idx = np.random.choice(bsz, size=path_bsz, replace=False)
-            p_sub, r_sub = self._put(
-                np.asarray(photo)[idx], np.asarray(render)[idx]
-            )
+            idx = np.sort(np.random.choice(bsz, size=path_bsz, replace=False))
+            p_sub = jnp.take(photo, jnp.asarray(idx), axis=0)
+            r_sub = jnp.take(render, jnp.asarray(idx), axis=0)
+            if self.mesh is not None:
+                p_sub, r_sub = self._put(p_sub, r_sub)
             self.state, gr_m = self.steps["g_reg_step"](
-                self.state, p_sub, r_sub, self._next_key()
+                self.state, p_sub, r_sub, self._next_key(), True
             )
             self._last_greg = gr_m
         metrics.update(self._last_greg)
-
-        self.state = self.steps["ema_step"](self.state)
         metrics["ds_flag"] = ds_flag
         metrics["extreme_ds_flag"] = extreme
         return metrics

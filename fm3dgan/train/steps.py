@@ -111,7 +111,9 @@ def make_step_fns(
 
     # ---------------- D step (train_3_encoder.py:448-477) ----------------
 
-    @functools.partial(jax.jit, static_argnames=("use_edit",))
+    @functools.partial(
+        jax.jit, static_argnames=("use_edit",), donate_argnums=(0,)
+    )
     def d_step(state: TrainState, photo, render, ref, rng, use_edit: bool):
         d_key = "d_edit" if use_edit else "d"
         fake, new_stats = forward_full(
@@ -145,7 +147,9 @@ def make_step_fns(
 
     # ---------------- D regularization (R1) (:479-493) -------------------
 
-    @functools.partial(jax.jit, static_argnames=("use_edit",))
+    @functools.partial(
+        jax.jit, static_argnames=("use_edit",), donate_argnums=(0,)
+    )
     def d_reg_step(state: TrainState, ref, use_edit: bool):
         d_key = "d_edit" if use_edit else "d"
 
@@ -176,9 +180,16 @@ def make_step_fns(
 
     g_enc_keys = ("g", "e_tsr", "e_w", "e_w_plus")
 
+    def _ema(ema_params, g_params):
+        d = config.ema_decay
+        return jax.tree.map(
+            lambda e, p: d * e + (1.0 - d) * p, ema_params, g_params
+        )
+
     @functools.partial(
         jax.jit, static_argnames=("use_edit", "ds_flag", "extreme_ds_flag",
-                                  "apply_hmap")
+                                  "apply_hmap", "apply_ema"),
+        donate_argnums=(0,),
     )
     def g_step(
         state: TrainState,
@@ -191,6 +202,7 @@ def make_step_fns(
         ds_flag: bool,
         extreme_ds_flag: bool,
         apply_hmap: bool = False,
+        apply_ema: bool = False,
     ):
         d_key = "d_edit" if use_edit else "d"
 
@@ -264,16 +276,24 @@ def make_step_fns(
         new_g_enc = optax.apply_updates(g_enc_params, updates)
         new_params = dict(state.params)
         new_params.update(new_g_enc)
-        state = state.replace(
+        replace_kwargs = dict(
             params=new_params, stats=new_stats, g_enc_opt=new_opt,
             step=state.step + 1,
         )
+        if apply_ema:
+            # Fused EMA (one device dispatch less than a separate ema_step).
+            replace_kwargs["g_ema_params"] = _ema(
+                state.g_ema_params, new_params["g"]
+            )
+        state = state.replace(**replace_kwargs)
         return state, metrics
 
     # ---------------- G regularization (PPL) (:561-596) -------------------
 
-    @jax.jit
-    def g_reg_step(state: TrainState, photo, render, rng):
+    @functools.partial(
+        jax.jit, static_argnames=("apply_ema",), donate_argnums=(0,)
+    )
+    def g_reg_step(state: TrainState, photo, render, rng, apply_ema: bool = False):
         """photo/render: pre-sliced path-reg batch (host does the random
         subset choice, train_3_encoder.py:568-570)."""
         noise_key, ppl_key = jax.random.split(rng)
@@ -306,14 +326,19 @@ def make_step_fns(
         new_g_enc = optax.apply_updates(g_enc_params, updates)
         new_params = dict(state.params)
         new_params.update(new_g_enc)
-        state = state.replace(
+        replace_kwargs = dict(
             params=new_params, g_enc_opt=new_opt, mean_path_length=new_mean
         )
+        if apply_ema:
+            replace_kwargs["g_ema_params"] = _ema(
+                state.g_ema_params, new_params["g"]
+            )
+        state = state.replace(**replace_kwargs)
         return state, {"g_reg": penalty, "path_length": mean_pl}
 
     # ---------------- EMA (:195-200, 776) ---------------------------------
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def ema_step(state: TrainState):
         decay = config.ema_decay
         new_ema = jax.tree.map(
