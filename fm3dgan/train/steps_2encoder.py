@@ -28,6 +28,247 @@ from fm3dgan.train.config import TrainConfig
 from fm3dgan.train.state import make_d_optimizer
 
 
+def make_2encoder_step_fns(
+    tensor_encoder,
+    modulation_encoder,
+    generator,
+    d_module,
+    config: TrainConfig,
+    lpips_module=None,
+    arcface_module=None,
+    mod_encode: str = "Render Image",
+    co_modulation: Optional[str] = None,
+):
+    """Jitted D/R1/G/PPL/EMA steps for the 2-encoder scheme — the train.py
+    counterpart of fm3dgan.train.steps.make_step_fns (train.py:391-530).
+
+    State is a plain dict:
+      {'params': {tensor_encoder, modulation_encoder, g, d, d_ffhq},
+       'stats': {...}, 'g_ema': ..., 'g_opt': ..., 'd_opt': ...,
+       'd_ffhq_opt': ..., 'mean_path_length': ...}
+    """
+    from fm3dgan.losses.geometry import face_regional_loss
+    from fm3dgan.losses.path_reg import path_regularize
+    from fm3dgan.losses.recon import l1_loss
+
+    d_tx = make_d_optimizer(config)
+    r = config.g_reg_ratio
+    g_tx = optax.adam(config.lr * r, b1=0.0**r, b2=0.99**r, eps=1e-8)
+    enc_keys = ("g", "tensor_encoder", "modulation_encoder")
+
+    def _vars(params, stats, key):
+        return {"params": params[key], **stats.get(key, {})}
+
+    def _fwd(params, stats, photo, render, train, noise_rng=None):
+        variables = {k: _vars(params, stats, k) for k in enc_keys}
+        img, upd = forward_2_encoder(
+            tensor_encoder,
+            modulation_encoder,
+            generator,
+            variables,
+            photo,
+            render,
+            mod_encode=mod_encode,
+            co_modulation=co_modulation,
+            sliced_layer=config.w_plus_sliced_layer,
+            use_tanh=config.use_tanh,
+            train=train,
+            noise_rng=noise_rng,
+        )
+        new_stats = dict(stats)
+        for k, v in upd.items():
+            merged = dict(stats.get(k, {}))
+            merged.update(v)
+            new_stats[k] = merged
+        return img, new_stats
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def d_step(state, photo, render, ref, rng):
+        fake, new_stats = _fwd(
+            state["params"], state["stats"], photo, render, True, rng
+        )
+        fake = jax.lax.stop_gradient(fake)
+
+        def loss_fn(d_params):
+            out_pred = d_module.apply({"params": d_params}, fake)
+            ref_pred = d_module.apply({"params": d_params}, ref)
+            return d_logistic_loss(ref_pred, out_pred), (
+                jnp.mean(ref_pred),
+                jnp.mean(out_pred),
+            )
+
+        (loss, (rs, os_)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]["d"]
+        )
+        updates, new_opt = d_tx.update(grads, state["d_opt"], state["params"]["d"])
+        state = dict(state)
+        state["params"] = dict(state["params"])
+        state["params"]["d"] = optax.apply_updates(state["params"]["d"], updates)
+        state["stats"] = new_stats
+        state["d_opt"] = new_opt
+        return state, {"d": loss, "ref_score": rs, "out_score": os_}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def d_reg_step(state, ref):
+        def loss_fn(d_params):
+            r1 = d_r1_penalty(
+                lambda img: d_module.apply({"params": d_params}, img), ref
+            )
+            return config.r1 / 2.0 * r1 * config.d_reg_every, r1
+
+        (_, r1), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]["d"]
+        )
+        updates, new_opt = d_tx.update(grads, state["d_opt"], state["params"]["d"])
+        state = dict(state)
+        state["params"] = dict(state["params"])
+        state["params"]["d"] = optax.apply_updates(state["params"]["d"], updates)
+        state["d_opt"] = new_opt
+        return state, {"r1": r1}
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("ds_flag", "extreme_ds_flag", "apply_ema"),
+        donate_argnums=(0,),
+    )
+    def g_step(
+        state, photo, render, ref, rng, frozen,
+        ds_flag: bool, extreme_ds_flag: bool, apply_ema: bool = True,
+    ):
+        shrink = config.ep_lpips_l1_weight_shrink if extreme_ds_flag else 1.0
+        lpips_l = config.lpips_loss_lambda / shrink
+        l1_l = config.l1_loss_lambda / shrink
+        if not ds_flag:
+            face_reg_l = config.rec_face_reg_loss_lambda
+        elif not extreme_ds_flag:
+            face_reg_l = config.ds_face_reg_loss_lambda
+        else:
+            face_reg_l = config.ep_face_reg_loss_lambda
+
+        def loss_fn(enc_params):
+            p = dict(state["params"])
+            p.update(enc_params)
+            fake, new_stats = _fwd(p, state["stats"], photo, render, True, rng)
+            out_pred = d_module.apply({"params": state["params"]["d"]}, fake)
+            g_loss = g_nonsaturating_loss(out_pred)
+            lp = jnp.zeros((), fake.dtype)
+            if lpips_module is not None and lpips_l > 0:
+                lp = lpips_l * jnp.mean(lpips_module.apply(frozen["lpips"], fake, ref))
+            l1 = l1_l * l1_loss(fake, ref)
+            fid_loss = jnp.zeros((), fake.dtype)
+            if arcface_module is not None and config.face_id_loss_lambda > 0:
+                id_ref = photo if extreme_ds_flag else ref
+                fid_loss = config.face_id_loss_lambda * face_identity_loss(
+                    fake, id_ref,
+                    lambda x: arcface_module.apply(frozen["arcface"], x),
+                    config.face_id_loss_type,
+                )
+            freg = (
+                face_reg_l * face_regional_loss(render, fake)
+                if face_reg_l > 0
+                else jnp.zeros((), fake.dtype)
+            )
+            total = g_loss + lp + l1 + fid_loss + freg
+            metrics = {
+                "g": g_loss, "lpips": lp, "l1": l1, "face_id": fid_loss,
+                "face_reg": freg,
+            }
+            return total, (metrics, new_stats)
+
+        enc_params = {k: state["params"][k] for k in enc_keys}
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(enc_params)
+        updates, new_opt = g_tx.update(grads, state["g_opt"], enc_params)
+        new_enc = optax.apply_updates(enc_params, updates)
+        state = dict(state)
+        state["params"] = dict(state["params"])
+        state["params"].update(new_enc)
+        state["stats"] = new_stats
+        state["g_opt"] = new_opt
+        if apply_ema:
+            d = config.ema_decay
+            state["g_ema"] = jax.tree.map(
+                lambda e, p_: d * e + (1 - d) * p_,
+                state["g_ema"],
+                state["params"]["g"],
+            )
+        return state, metrics
+
+    @functools.partial(
+        jax.jit, static_argnames=("apply_ema",), donate_argnums=(0,)
+    )
+    def g_reg_step(state, photo, render, rng, apply_ema: bool = True):
+        noise_key, ppl_key = jax.random.split(rng)
+
+        def loss_fn(enc_params):
+            p = dict(state["params"])
+            p.update(enc_params)
+            # Encode without the generator, then PPL against the latent.
+            variables = {k: _vars(p, state["stats"], k) for k in enc_keys}
+            if co_modulation is None:
+                if mod_encode == "Render Image":
+                    tensor = tensor_encoder.apply(variables["tensor_encoder"], photo)
+                    w = modulation_encoder.apply(
+                        variables["modulation_encoder"], render
+                    )
+                else:
+                    tensor = tensor_encoder.apply(variables["tensor_encoder"], render)
+                    w = modulation_encoder.apply(
+                        variables["modulation_encoder"], photo
+                    )
+                latent = jnp.repeat(
+                    w[:, None, :], generator.n_latent, axis=1
+                )
+
+                def g_fn(lat):
+                    return generator.apply(
+                        variables["g"],
+                        input_is_latent=True,
+                        latent_styles=[lat],
+                        external_input_tensor=tensor,
+                        randomize_noise=True,
+                        rngs={"noise": noise_key},
+                    )
+
+            else:
+                raise NotImplementedError(
+                    "PPL for co-modulation modes lands with their trainer"
+                )
+            penalty, new_mean, pl = path_regularize(
+                g_fn, latent, state["mean_path_length"], ppl_key
+            )
+            weighted = config.path_reg_weight * config.g_reg_every * penalty
+            return weighted, (penalty, new_mean, jnp.mean(pl))
+
+        enc_params = {k: state["params"][k] for k in enc_keys}
+        (_, (penalty, new_mean, mean_pl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(enc_params)
+        updates, new_opt = g_tx.update(grads, state["g_opt"], enc_params)
+        new_enc = optax.apply_updates(enc_params, updates)
+        state = dict(state)
+        state["params"] = dict(state["params"])
+        state["params"].update(new_enc)
+        state["g_opt"] = new_opt
+        state["mean_path_length"] = new_mean
+        if apply_ema:
+            d = config.ema_decay
+            state["g_ema"] = jax.tree.map(
+                lambda e, p_: d * e + (1 - d) * p_,
+                state["g_ema"],
+                state["params"]["g"],
+            )
+        return state, {"g_reg": penalty, "path_length": mean_pl}
+
+    return {
+        "d_step": d_step,
+        "d_reg_step": d_reg_step,
+        "g_step": g_step,
+        "g_reg_step": g_reg_step,
+    }
+
+
 def make_2encoder_ffhq_ds_steps(
     tensor_encoder,
     modulation_encoder,
