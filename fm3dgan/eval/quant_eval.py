@@ -55,20 +55,28 @@ def get_recon_score(
     """(mean ID-cosine, mean LPIPS, mean per-image L1) (quant_eval.py:51-107).
 
     eval_batches: iterable of (photo, render) NHWC [-1,1] arrays.
+    face_rec_fn / lpips_fn may be None (scorer net unavailable) — the
+    corresponding score is NaN.
     """
     cos_sim, lpips_vals, l1_vals = [], [], []
     for idx, (photo, render) in enumerate(eval_batches):
         if info_print:
             print(f"Batch: {idx}")
         out = forward_fn(photo, render)
-        cos_sim += list(
-            compute_face_identity_similarity(out, photo, face_rec_fn)
-        )
-        lpips_vals += list(np.asarray(lpips_fn(out, photo)).reshape(-1))
+        if face_rec_fn is not None:
+            cos_sim += list(
+                compute_face_identity_similarity(out, photo, face_rec_fn)
+            )
+        if lpips_fn is not None:
+            lpips_vals += list(np.asarray(lpips_fn(out, photo)).reshape(-1))
         l1_vals += list(
             np.mean(np.abs(np.asarray(out) - np.asarray(photo)), axis=(1, 2, 3))
         )
-    return float(np.mean(cos_sim)), float(np.mean(lpips_vals)), float(np.mean(l1_vals))
+    return (
+        float(np.mean(cos_sim)) if cos_sim else float("nan"),
+        float(np.mean(lpips_vals)) if lpips_vals else float("nan"),
+        float(np.mean(l1_vals)),
+    )
 
 
 def get_edit_score(
@@ -88,6 +96,8 @@ def get_edit_score(
     heatmap_landmark_fn: images -> (heatmaps [N,64,64,68], landmarks [N,68,2]);
       heatmap/landmark scores are NaN when unavailable (the reference's FAN
       dependency, SURVEY.md §2.4).
+    face_rec_fn / inception_fn may be None — the corresponding scores
+    (ID-cosine / FID) are NaN.
     """
     cos_sim: List[float] = []
     hmap_scores: List[float] = []
@@ -121,22 +131,28 @@ def get_edit_score(
                 lmark_scores += list(
                     np.mean(np.square(np.asarray(lm_r) - np.asarray(lm_g)), axis=(1, 2))
                 )
-        sims = compute_face_identity_similarity(outs, photo, face_rec_fn)
-        cos_sim += list(np.asarray(sims).reshape(-1))
-        all_out = np.concatenate([np.asarray(o) for o in outs], axis=0)
-        feats.append(np.asarray(inception_fn(jnp.asarray(all_out))))
+        if face_rec_fn is not None:
+            sims = compute_face_identity_similarity(outs, photo, face_rec_fn)
+            cos_sim += list(np.asarray(sims).reshape(-1))
+        if inception_fn is not None:
+            all_out = np.concatenate([np.asarray(o) for o in outs], axis=0)
+            feats.append(np.asarray(inception_fn(jnp.asarray(all_out))))
 
-    feats = np.concatenate(feats, axis=0)
-    sample_mean, sample_cov = compute_inception_stats(feats)
-    if real_stats is None:
-        assert real_stats_path is not None
-        real_stats = load_stats(real_stats_path)
-    fid = calc_fid(sample_mean, sample_cov, real_stats[0], real_stats[1])
+    if inception_fn is not None and (
+        real_stats is not None or real_stats_path is not None
+    ):
+        feats = np.concatenate(feats, axis=0)
+        sample_mean, sample_cov = compute_inception_stats(feats)
+        if real_stats is None:
+            real_stats = load_stats(real_stats_path)
+        fid = calc_fid(sample_mean, sample_cov, real_stats[0], real_stats[1])
+    else:
+        fid = float("nan")
 
     hmap = float(np.mean(hmap_scores)) if hmap_scores else float("nan")
     lmark = float(np.mean(lmark_scores)) if lmark_scores else float("nan")
     return (
-        float(np.mean(cos_sim)),
+        float(np.mean(cos_sim)) if cos_sim else float("nan"),
         fid,
         hmap,
         lmark,

@@ -154,28 +154,34 @@ def heatmaps_to_landmarks(heatmaps: jax.Array) -> jax.Array:
 
 
 def center_crop_for_fan(
-    images: jax.Array, bbox: Optional[Tuple[float, float, float, float]] = None
+    images: jax.Array,
+    bbox: Optional[Tuple[float, float, float, float]] = None,
+    target_size: int = 256,
 ) -> jax.Array:
-    """[-1,1] NHWC face crops -> FAN input ([0,1], 256x256).
+    """[-1,1] NHWC face crops -> FAN input ([0,1], target_size²; 256 for the
+    pretrained 2DFAN-4 weights).
 
     The reference detects faces with SFD and crops with a 0.12 vertical
     offset (landmark_util.py:96-98); for already-aligned 256px crops the
     full-image fallback box (landmark_util.py:45-48) makes the crop an
     identity up to rescaling, reproduced here."""
     x = (images + 1.0) / 2.0
-    if x.shape[1] != 256 or x.shape[2] != 256:
+    if x.shape[1] != target_size or x.shape[2] != target_size:
         x = jax.image.resize(
-            x, (x.shape[0], 256, 256, x.shape[3]), method="bilinear"
+            x, (x.shape[0], target_size, target_size, x.shape[3]),
+            method="bilinear",
         )
     return x
 
 
-def fan_heatmap_fn(fan_module: FAN, variables):
+def fan_heatmap_fn(fan_module: FAN, variables, target_size: int = 256):
     """Build heatmap_fn(images NHWC [-1,1]) -> [N,64,64,68] for the heatmap
     loss (fm3dgan/losses/geometry.py)."""
 
     def fn(images):
-        return fan_module.apply(variables, center_crop_for_fan(images))
+        return fan_module.apply(
+            variables, center_crop_for_fan(images, target_size=target_size)
+        )
 
     return fn
 

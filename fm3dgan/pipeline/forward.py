@@ -195,6 +195,70 @@ def forward_3_encoder(
     return image, updates
 
 
+def encode_2_encoder(
+    tensor_encoder: ResNet18Encoder,
+    modulation_encoder,
+    generator: Generator,
+    variables: Dict[str, Any],
+    photo: jax.Array,
+    render: jax.Array,
+    *,
+    mod_encode: str = "Render Image",
+    co_modulation: Optional[str] = None,
+    sliced_layer: Optional[Sequence[int]] = None,
+    train: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array], Dict[str, Any]]:
+    """Encoder half of the 2-encoder modes (network_util.py:232-282).
+
+    Returns (latent [N, n_latent, D], external_input_tensor or None,
+    batch-stats updates).  Shared by the forward and the PPL regularizer,
+    which differentiates the generator w.r.t. this latent.
+    """
+    assert mod_encode in MODULATION_ENCODING
+    updates: Dict[str, Any] = {}
+
+    def apply_enc(module, key, x):
+        if train:
+            out, upd = module.apply(
+                variables[key], x, train=True, mutable=["batch_stats"]
+            )
+            updates[key] = upd
+            return out
+        return module.apply(variables[key], x)
+
+    if co_modulation is None:
+        if mod_encode == "Render Image":
+            encoded_tensor = apply_enc(tensor_encoder, "tensor_encoder", photo)
+            encoded_w = apply_enc(modulation_encoder, "modulation_encoder", render)
+        else:
+            encoded_tensor = apply_enc(tensor_encoder, "tensor_encoder", render)
+            encoded_w = apply_enc(modulation_encoder, "modulation_encoder", photo)
+        latent = jnp.repeat(encoded_w[:, None, :], generator.n_latent, axis=1)
+        return latent, encoded_tensor, updates
+
+    assert co_modulation in CO_MODULATION_MODE
+    if co_modulation == "Multiplication":
+        # W vector from the render-path encoder times W+ per-layer codes.
+        encoded_vec = apply_enc(tensor_encoder, "tensor_encoder", render)
+        encoded_wp = apply_enc(modulation_encoder, "modulation_encoder", photo)
+        latent = _combine_w_wplus(encoded_vec, encoded_wp, sliced_layer)
+        return latent, None, updates
+    if co_modulation == "Concatenation":
+        encoded_vec = apply_enc(tensor_encoder, "tensor_encoder", render)
+        encoded_wp = apply_enc(modulation_encoder, "modulation_encoder", photo)
+        rep = jnp.repeat(encoded_vec[:, None, :], encoded_wp.shape[1], axis=1)
+        latent = jnp.concatenate([rep, encoded_wp], axis=2)
+        return latent, None, updates
+    # Tensor Transform
+    encoded_tensor, encoded_vec = apply_enc(
+        tensor_encoder, "tensor_encoder", render
+    )
+    encoded_wp = apply_enc(modulation_encoder, "modulation_encoder", photo)
+    rep = jnp.repeat(encoded_vec[:, None, :], encoded_wp.shape[1], axis=1)
+    latent = jnp.concatenate([rep, encoded_wp], axis=2)
+    return latent, encoded_tensor, updates
+
+
 def forward_2_encoder(
     tensor_encoder: ResNet18Encoder,
     modulation_encoder,
@@ -214,70 +278,29 @@ def forward_2_encoder(
 
     variables keys: 'tensor_encoder', 'modulation_encoder', 'g'.
     """
-    assert mod_encode in MODULATION_ENCODING
-    updates: Dict[str, Any] = {}
-
-    def apply_enc(module, key, x):
-        if train:
-            out, upd = module.apply(
-                variables[key], x, train=True, mutable=["batch_stats"]
-            )
-            updates[key] = upd
-            return out
-        return module.apply(variables[key], x)
-
+    latent, encoded_tensor, updates = encode_2_encoder(
+        tensor_encoder,
+        modulation_encoder,
+        generator,
+        variables,
+        photo,
+        render,
+        mod_encode=mod_encode,
+        co_modulation=co_modulation,
+        sliced_layer=sliced_layer,
+        train=train,
+    )
     rngs = {"noise": noise_rng} if noise_rng is not None else None
     g_kwargs = dict(
         input_is_latent=True,
         randomize_noise=noise_rng is not None,
         rngs=rngs,
     )
-
-    if co_modulation is None:
-        if mod_encode == "Render Image":
-            encoded_tensor = apply_enc(tensor_encoder, "tensor_encoder", photo)
-            encoded_w = apply_enc(modulation_encoder, "modulation_encoder", render)
-        else:
-            encoded_tensor = apply_enc(tensor_encoder, "tensor_encoder", render)
-            encoded_w = apply_enc(modulation_encoder, "modulation_encoder", photo)
-        image = generator.apply(
-            variables["g"],
-            latent_styles=[encoded_w],
-            external_input_tensor=encoded_tensor,
-            **g_kwargs,
-        )
-    else:
-        assert co_modulation in CO_MODULATION_MODE
-        if co_modulation == "Multiplication":
-            # W vector from the render-path encoder times W+ per-layer codes.
-            encoded_vec = apply_enc(tensor_encoder, "tensor_encoder", render)
-            encoded_wp = apply_enc(modulation_encoder, "modulation_encoder", photo)
-            latent = _combine_w_wplus(encoded_vec, encoded_wp, sliced_layer)
-            image = generator.apply(
-                variables["g"], latent_styles=[latent], **g_kwargs
-            )
-        elif co_modulation == "Concatenation":
-            encoded_vec = apply_enc(tensor_encoder, "tensor_encoder", render)
-            encoded_wp = apply_enc(modulation_encoder, "modulation_encoder", photo)
-            rep = jnp.repeat(encoded_vec[:, None, :], encoded_wp.shape[1], axis=1)
-            latent = jnp.concatenate([rep, encoded_wp], axis=2)
-            image = generator.apply(
-                variables["g"], latent_styles=[latent], **g_kwargs
-            )
-        else:  # Tensor Transform
-            encoded_tensor, encoded_vec = apply_enc(
-                tensor_encoder, "tensor_encoder", render
-            )
-            encoded_wp = apply_enc(modulation_encoder, "modulation_encoder", photo)
-            rep = jnp.repeat(encoded_vec[:, None, :], encoded_wp.shape[1], axis=1)
-            latent = jnp.concatenate([rep, encoded_wp], axis=2)
-            image = generator.apply(
-                variables["g"],
-                latent_styles=[latent],
-                external_input_tensor=encoded_tensor,
-                **g_kwargs,
-            )
-
+    if encoded_tensor is not None:
+        g_kwargs["external_input_tensor"] = encoded_tensor
+    image = generator.apply(
+        variables["g"], latent_styles=[latent], **g_kwargs
+    )
     if use_tanh:
         image = jnp.tanh(image)
     return image, updates

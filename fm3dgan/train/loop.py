@@ -39,6 +39,8 @@ class Trainer:
         frozen_variables: Optional[Dict[str, Any]] = None,
         use_lpips: bool = True,
         use_arcface: bool = True,
+        use_fan: Optional[bool] = None,
+        fan_input_size: int = 256,
         input_size: Optional[int] = None,
         fast_init: bool = False,
     ):
@@ -62,9 +64,26 @@ class Trainer:
         )
         self.lpips_module = LPIPS() if use_lpips else None
         self.arcface_module = ResNetFace18(use_se=False) if use_arcface else None
+        # FAN heatmap net: built when the heatmap loss can ever fire
+        # (hmap_loss_lambda > 0, gated by hmap_iter_thres at step time —
+        # train_3_encoder.py:538-541).
+        if use_fan is None:
+            use_fan = config.hmap_loss_lambda > 0
+        self.fan_input_size = fan_input_size
+        if use_fan:
+            from fm3dgan.models.fan_landmark import FAN
+
+            self.fan_module = FAN()
+        else:
+            self.fan_module = None
 
         key = jax.random.PRNGKey(seed)
-        k_models, k_d, k_de, k_lpips, k_arc, self._key = jax.random.split(key, 6)
+        (
+            k_models, k_d, k_de, k_lpips, k_arc, k_fan, self._key
+        ) = jax.random.split(key, 7)
+        # Host-side RNG for the path-reg batch-subset choice
+        # (train_3_encoder.py:568-570) — seeded so runs are reproducible.
+        self._host_rng = np.random.RandomState(seed)
 
         if fast_init:
             variables = self.models.init_variables_fast(seed=seed)
@@ -140,6 +159,31 @@ class Trainer:
                 )
             else:
                 self.frozen["arcface"] = jax.jit(self.arcface_module.init)(k_arc, dummy)
+        if self.fan_module is not None and "fan" not in self.frozen:
+            dummy = jnp.zeros(
+                (1, fan_input_size, fan_input_size, 3), jnp.float32
+            )
+            if fast_init:
+                shapes = jax.eval_shape(self.fan_module.init, k_fan, dummy)
+                rngf = np.random.RandomState(seed + 4)
+
+                def fill_f(path, l):
+                    name = path[-1].key if hasattr(path[-1], "key") else ""
+                    if name == "var":
+                        return jnp.ones(l.shape, l.dtype)
+                    if name == "mean":
+                        return jnp.zeros(l.shape, l.dtype)
+                    return jnp.asarray(
+                        rngf.normal(0, 0.05, l.shape).astype(l.dtype)
+                    )
+
+                self.frozen["fan"] = jax.tree_util.tree_map_with_path(
+                    fill_f, shapes
+                )
+            else:
+                self.frozen["fan"] = jax.jit(self.fan_module.init)(
+                    k_fan, dummy
+                )
 
         self.steps = make_step_fns(
             self.models,
@@ -147,6 +191,8 @@ class Trainer:
             config,
             lpips_module=self.lpips_module,
             arcface_module=self.arcface_module,
+            fan_module=self.fan_module,
+            fan_input_size=fan_input_size,
         )
 
         self.mesh = mesh
@@ -191,6 +237,13 @@ class Trainer:
         metrics["r1"] = self._last_r1
 
         will_g_reg = cfg.use_g_reg and iter_idx % cfg.g_reg_every == 0
+        # Heatmap loss fires past the iteration threshold
+        # (train_3_encoder.py:538-541).
+        apply_hmap = (
+            self.fan_module is not None
+            and cfg.hmap_loss_lambda > 0
+            and iter_idx > cfg.hmap_iter_thres
+        )
         # EMA is fused into the LAST G update of the iteration (one EMA
         # application per iteration, after all updates — the reference's
         # accumulate() placement, train_3_encoder.py:822).
@@ -204,7 +257,7 @@ class Trainer:
             use_edit,
             ds_flag,
             extreme,
-            False,
+            apply_hmap,
             not will_g_reg,
         )
         metrics.update(g_m)
@@ -215,7 +268,9 @@ class Trainer:
             # full tunnel round-trip.
             bsz = photo.shape[0]
             path_bsz = max(1, bsz // cfg.path_reg_batch_shrink)
-            idx = np.sort(np.random.choice(bsz, size=path_bsz, replace=False))
+            idx = np.sort(
+                self._host_rng.choice(bsz, size=path_bsz, replace=False)
+            )
             p_sub = jnp.take(photo, jnp.asarray(idx), axis=0)
             r_sub = jnp.take(render, jnp.asarray(idx), axis=0)
             if self.mesh is not None:

@@ -98,13 +98,17 @@ def make_step_fns(
     config: TrainConfig,
     lpips_module=None,
     arcface_module=None,
-    heatmap_fn: Optional[Callable] = None,
+    fan_module=None,
+    fan_input_size: int = 256,
 ):
     """Build the jitted step functions.
 
     d_module: the Discriminator module definition (shared by D and D_edit).
-    lpips_module/arcface_module: frozen-net module defs; their variables are
-    passed per-call in ``frozen`` ({'lpips':..., 'arcface':...}).
+    lpips_module/arcface_module/fan_module: frozen-net module defs; their
+    variables are passed per-call in ``frozen``
+    ({'lpips':..., 'arcface':..., 'fan':...}).
+    fan_input_size: resolution the heatmap FAN consumes (256 for the
+    pretrained 2DFAN-4; smaller for smoke tests with random weights).
     """
     g_enc_tx = make_g_enc_optimizer(config)
     d_tx = make_d_optimizer(config)
@@ -245,8 +249,17 @@ def make_step_fns(
                     config.face_id_loss_type,
                 )
             hmap = jnp.zeros((), fake.dtype)
-            if apply_hmap and heatmap_fn is not None and config.hmap_loss_lambda > 0:
+            if apply_hmap and fan_module is not None and config.hmap_loss_lambda > 0:
                 from fm3dgan.losses.geometry import heat_map_loss
+                from fm3dgan.models.fan_landmark import center_crop_for_fan
+
+                def heatmap_fn(images):
+                    return fan_module.apply(
+                        frozen["fan"],
+                        center_crop_for_fan(
+                            images, target_size=fan_input_size
+                        ),
+                    )
 
                 hmap = config.hmap_loss_lambda * heat_map_loss(
                     fake, render, heatmap_fn

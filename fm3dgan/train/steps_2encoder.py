@@ -23,7 +23,7 @@ from fm3dgan.losses.gan import (
     g_nonsaturating_loss,
 )
 from fm3dgan.losses.recon import face_identity_loss
-from fm3dgan.pipeline.forward import forward_2_encoder
+from fm3dgan.pipeline.forward import encode_2_encoder, forward_2_encoder
 from fm3dgan.train.config import TrainConfig
 from fm3dgan.train.state import make_d_optimizer
 
@@ -204,37 +204,35 @@ def make_2encoder_step_fns(
         def loss_fn(enc_params):
             p = dict(state["params"])
             p.update(enc_params)
-            # Encode without the generator, then PPL against the latent.
+            # Encode without the generator, then PPL against the latent —
+            # all co-modulation modes route through the same latent space
+            # (Forward_Inference with PPL_regularize, train.py:495-530 /
+            # network_util.py:232-282).
             variables = {k: _vars(p, state["stats"], k) for k in enc_keys}
-            if co_modulation is None:
-                if mod_encode == "Render Image":
-                    tensor = tensor_encoder.apply(variables["tensor_encoder"], photo)
-                    w = modulation_encoder.apply(
-                        variables["modulation_encoder"], render
-                    )
-                else:
-                    tensor = tensor_encoder.apply(variables["tensor_encoder"], render)
-                    w = modulation_encoder.apply(
-                        variables["modulation_encoder"], photo
-                    )
-                latent = jnp.repeat(
-                    w[:, None, :], generator.n_latent, axis=1
-                )
+            latent, tensor, _ = encode_2_encoder(
+                tensor_encoder,
+                modulation_encoder,
+                generator,
+                variables,
+                photo,
+                render,
+                mod_encode=mod_encode,
+                co_modulation=co_modulation,
+                sliced_layer=config.w_plus_sliced_layer,
+                train=False,
+            )
 
-                def g_fn(lat):
-                    return generator.apply(
-                        variables["g"],
-                        input_is_latent=True,
-                        latent_styles=[lat],
-                        external_input_tensor=tensor,
-                        randomize_noise=True,
-                        rngs={"noise": noise_key},
-                    )
-
-            else:
-                raise NotImplementedError(
-                    "PPL for co-modulation modes lands with their trainer"
+            def g_fn(lat):
+                g_kwargs = dict(
+                    input_is_latent=True,
+                    latent_styles=[lat],
+                    randomize_noise=True,
+                    rngs={"noise": noise_key},
                 )
+                if tensor is not None:
+                    g_kwargs["external_input_tensor"] = tensor
+                return generator.apply(variables["g"], **g_kwargs)
+
             penalty, new_mean, pl = path_regularize(
                 g_fn, latent, state["mean_path_length"], ppl_key
             )

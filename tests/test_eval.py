@@ -180,3 +180,52 @@ def test_fan_landmark_decoding():
     lm = np.asarray(heatmaps_to_landmarks(jnp.asarray(hm)))
     np.testing.assert_allclose(lm[0, 0, 0], 20.25, atol=1e-5)
     np.testing.assert_allclose(lm[0, 0, 1], 10.0, atol=0.26)
+
+
+def test_val_sample_builders(tmp_path):
+    """Visual val-bundle builders (visual_eval.py:40-83): .npy bundles and
+    synthetic-id datasets produce fixed [photo, render, ...] val sets, and
+    get_val_sample_grid renders them through a forward stub."""
+    import numpy as np
+
+    from fm3dgan.eval.visual_eval import (
+        get_real_img_val_sample,
+        get_syn_img_val_sample,
+        get_val_sample_grid,
+    )
+
+    # .npy bundles: [real, own render, 4 edit renders] uint8 stacks.
+    paths = []
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        bundle = rng.randint(0, 255, (6, 32, 32, 3), dtype=np.uint8)
+        p = tmp_path / f"val_{i}.npy"
+        np.save(p, bundle)
+        paths.append(str(p))
+    sets = get_real_img_val_sample(
+        paths, num_faces=2, size=32, rng=np.random.RandomState(1)
+    )
+    assert len(sets) == 6  # 2 faces x [photo, own render, one edit render]
+    for s in sets:
+        assert s.shape == (1, 32, 32, 3)
+        assert -1.0 <= s.min() and s.max() <= 1.0
+
+    # Synthetic dataset stub: (g, r) pairs, 7 per id.
+    class FakeSyn:
+        def __len__(self):
+            return 14
+
+        def __getitem__(self, i):
+            g = np.full((16, 16, 3), i / 14.0, np.float32)
+            return g, -g
+
+    syn_sets = get_syn_img_val_sample(
+        FakeSyn(), num_faces=2, n_img_per_id=7, rng=np.random.RandomState(2)
+    )
+    assert len(syn_sets) == 6  # 2 ids x 2 imgs -> [g, r] + [r] per pair
+
+    grid = get_val_sample_grid(
+        lambda p, r: (p + r) / 2.0, sets, set_len=3
+    )
+    assert grid.shape == (2, 5, 32, 32, 3)  # photo + 2x(render, edit)
+    assert grid.dtype == np.uint8

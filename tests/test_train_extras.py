@@ -165,3 +165,125 @@ def test_train_cli_smoke(tmp_path):
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     log = (tmp_path / "exp" / "training_log.jsonl").read_text().strip()
     assert len(log.splitlines()) == 3
+
+
+def test_hmap_loss_wired():
+    """Heatmap loss fires past hmap_iter_thres with a nonzero finite metric
+    (reference gating: train_3_encoder.py:538-541)."""
+    from fm3dgan.train import Trainer
+
+    cfg = _tiny_cfg(hmap_loss_lambda=5.0, hmap_iter_thres=0, g_reg_every=100)
+    trainer = Trainer(
+        cfg, seed=0, use_lpips=False, use_arcface=False, input_size=128,
+        # Depth-4 hourglass needs >=64px FAN input (spatial floor of 1 after
+        # the stride-2 stem + 4 halvings).
+        fan_input_size=64,
+    )
+    assert trainer.fan_module is not None
+    rng = np.random.RandomState(0)
+    photo = rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32)
+    render = rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32)
+
+    # iter 0: not past threshold (strict >) -> hmap must be exactly 0.
+    m0 = trainer.train_iteration(0, photo, render, ref)
+    assert float(m0["hmap"]) == 0.0
+    # iter 1: past threshold -> hmap fires, finite and nonzero.
+    m1 = trainer.train_iteration(1, photo, render, ref)
+    assert np.isfinite(float(m1["hmap"]))
+    assert float(m1["hmap"]) > 0.0
+
+
+def test_seeded_run_determinism():
+    """Two Trainers with the same seed produce identical metrics, including
+    the PPL iteration whose batch subset is host-randomly chosen
+    (train_3_encoder.py:568-570 -- now drawn from a seeded RNG)."""
+    from fm3dgan.train import Trainer
+
+    rng = np.random.RandomState(7)
+    photo = rng.uniform(-1, 1, (4, 128, 128, 3)).astype(np.float32)
+    render = rng.uniform(-1, 1, (4, 128, 128, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+
+    def run():
+        cfg = _tiny_cfg(rec_batch=4, ds_batch=4, d_reg_every=1, g_reg_every=1)
+        t = Trainer(
+            cfg, seed=3, use_lpips=False, use_arcface=False, input_size=128
+        )
+        out = []
+        for i in range(2):
+            m = t.train_iteration(i, photo, render, ref)
+            out.append({k: float(v) for k, v in m.items()
+                        if hasattr(v, "item") or isinstance(v, float)})
+        return out
+
+    a, b = run(), run()
+    for ma, mb in zip(a, b):
+        for k in ma:
+            assert ma[k] == mb[k], (k, ma[k], mb[k])
+
+
+def test_in_training_quant_eval_hook():
+    """QuantEvalHook emits a scores record from the EMA stack
+    (Sample_Eval_Save_Ckpt eval half, train_3_encoder.py:708-733)."""
+    from fm3dgan.train import Trainer
+    from fm3dgan.train.eval_hook import QuantEvalHook, make_fake_eval_batches
+
+    trainer = Trainer(
+        _tiny_cfg(), seed=0, use_lpips=False, use_arcface=False,
+        input_size=128,
+    )
+    rec_fn, edit_fn = make_fake_eval_batches(128, batch=2, n_batches=1)
+    hook = QuantEvalHook(trainer, rec_batches=rec_fn, edit_batches=edit_fn)
+    rec = hook(0)
+    assert rec["eval_step"] == 0
+    assert np.isfinite(rec["recon_l1"])
+    assert np.isfinite(rec["edit_face_regional"])
+    # No ArcFace/LPIPS/Inception/FAN scorers -> NaN, not a crash.
+    assert np.isnan(rec["recon_id_cosine"])
+    assert np.isnan(rec["recon_lpips"])
+    assert np.isnan(rec["edit_fid"])
+    assert np.isnan(rec["edit_hmap"])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "co_mod", ["Multiplication", "Concatenation", "Tensor Transform"]
+)
+def test_trainer2_co_mod_full_iteration(co_mod, tmp_path):
+    """All three co-modulation modes run D/R1/G/PPL/EMA through Trainer2,
+    including path regularization (reference train.py:495-530 applies G_Reg
+    to every 2-encoder config)."""
+    from fm3dgan.train.loop2 import Trainer2
+
+    cfg = _tiny_cfg(d_reg_every=1, g_reg_every=1)
+    trainer = Trainer2(
+        cfg, seed=0, co_modulation=co_mod,
+        use_lpips=False, use_arcface=False, input_size=128,
+    )
+    rng = np.random.RandomState(0)
+    photo = rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32)
+    render = rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32)
+
+    ema0 = jax.tree.leaves(jax.tree.map(np.asarray, trainer.state["g_ema"]))
+    m = trainer.train_iteration(0, photo, render, ref)
+    for k in ("d", "g", "r1", "g_reg", "path_length"):
+        assert np.isfinite(float(m[k])), (co_mod, k, m[k])
+    ema1 = jax.tree.leaves(jax.tree.map(np.asarray, trainer.state["g_ema"]))
+    assert any(not np.allclose(a, b) for a, b in zip(ema0, ema1))
+
+    # Orbax round-trip.
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(ckpt_dir)
+    trainer.save_checkpoint(ckpt_dir, 1)
+    trainer2 = Trainer2(
+        cfg, seed=99, co_modulation=co_mod,
+        use_lpips=False, use_arcface=False, input_size=128,
+    )
+    trainer2.load_checkpoint(ckpt_dir, 1)
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, trainer.state["params"])),
+        jax.tree.leaves(jax.tree.map(np.asarray, trainer2.state["params"])),
+    ):
+        np.testing.assert_array_equal(a, b)

@@ -2,7 +2,8 @@
 """2-encoder training CLI — counterpart of the reference ``python3 train.py``
 (/root/reference/train.py:833+): E_Tsr + one modulation encoder, optional
 co-modulation, optional FFHQ-based dual supervision against a second
-discriminator D_ffhq.
+discriminator D_ffhq.  PPL path regularization runs for ALL modes
+(train.py:495-530), with Orbax checkpointing.
 
   python tools/train_2_encoder.py --fake_data --training_iters 6 --size 8 \
       --input_size 128 --exp_dir /tmp/exp2 [--co_mod Multiplication] \
@@ -14,7 +15,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import math
 import os
 import sys
 import time
@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def build_arg_parser():
     from fm3dgan.train import TrainConfig
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -45,6 +45,17 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--input_size", type=int, default=None)
     p.add_argument("--fake_data", action="store_true")
+    p.add_argument("--rec_data_dir", type=str, default=None,
+                   help="dir with img/ and render_img/ subfolders")
+    p.add_argument("--ds_data_dir", type=str, default=None,
+                   help="synthetic id_XXXXX/{g,r}_K.png pair dir, or the "
+                        "FFHQ editing layout for --ds_dataset_type FFHQ")
+    p.add_argument("--ffhq_data_dir", type=str, default=None,
+                   help="flat FFHQ image folder (D_ffhq reals)")
+    p.add_argument("--n_data_workers", type=int, default=4)
+    p.add_argument("--data_parallel", action="store_true")
+    p.add_argument("--resume_dir", type=str, default=None)
+    p.add_argument("--resume_step", type=int, default=None)
     p.add_argument("--mod_encode", default="Render Image",
                    choices=["Render Image", "Photo Image"])
     p.add_argument("--co_mod", default=None,
@@ -52,21 +63,76 @@ def main():
                             "Tensor Transform"])
     p.add_argument("--ds_dataset_type", default="Synthetic",
                    choices=["Synthetic", "FFHQ"])
-    args = p.parse_args()
+    return p
 
-    import jax
-    import jax.numpy as jnp
 
-    from fm3dgan.data import RandomFakeData, data_loading
-    from fm3dgan.models import Discriminator, Generator
-    from fm3dgan.models.psp_encoder import GradualStyleEncoder
-    from fm3dgan.models.resnet_encoder import ResNet18Encoder
-    from fm3dgan.train.state import make_d_optimizer
-    from fm3dgan.train.steps_2encoder import (
-        make_2encoder_ffhq_ds_steps,
-        make_2encoder_step_fns,
+def make_loaders(args, cfg):
+    if args.fake_data:
+        from fm3dgan.data import RandomFakeData
+
+        size = args.input_size or cfg.size
+        rec = RandomFakeData(cfg.rec_batch, size, seed=1)
+        ds = RandomFakeData(cfg.ds_batch, size, seed=2)
+        ffhq = RandomFakeData(cfg.ds_batch, cfg.size, seed=3)
+        return rec, ds, ffhq
+
+    from fm3dgan.data import (
+        DataLoader,
+        ImageFolderDataset,
+        ReconstructionDataset,
+        SyntheticPairDataset,
+        dual_supervision_indices,
     )
-    import optax
+
+    rec_set = ReconstructionDataset(
+        os.path.join(args.rec_data_dir, "img"),
+        os.path.join(args.rec_data_dir, "render_img"),
+    )
+    rec = DataLoader(rec_set, cfg.rec_batch, num_workers=args.n_data_workers)
+
+    if args.ds_dataset_type == "FFHQ":
+        from fm3dgan.data.datasets import EditingDataset
+
+        ds_set = EditingDataset(
+            os.path.join(args.ds_data_dir, "img"),
+            os.path.join(args.ds_data_dir, "edit_render_img"),
+            render_image_folder=os.path.join(args.ds_data_dir, "render_img"),
+            train=True,
+        )
+        # Train mode yields [photo, own render, edit render]; the FFHQ-DS
+        # branch consumes (photo, edit render) (train.py:715-716).
+        base = DataLoader(
+            ds_set, cfg.ds_batch, num_workers=args.n_data_workers
+        )
+
+        class _EditPairs:
+            def __next__(self):
+                photo, _own, edit = next(base)
+                return photo, edit
+
+        ds = _EditPairs()
+        ffhq_set = ImageFolderDataset(args.ffhq_data_dir)
+        ffhq = DataLoader(
+            ffhq_set, cfg.ds_batch, num_workers=args.n_data_workers
+        )
+    else:
+        ds_set = SyntheticPairDataset(args.ds_data_dir)
+        ds = DataLoader(
+            ds_set,
+            cfg.ds_batch,
+            index_sampler=lambda rng: dual_supervision_indices(
+                len(ds_set), ds_set.n_img_per_id, rng
+            ),
+            num_workers=args.n_data_workers,
+        )
+        ffhq = None
+    return rec, ds, ffhq
+
+
+def main():
+    from fm3dgan.train import TrainConfig
+
+    args = build_arg_parser().parse_args()
 
     cfg_kwargs = {
         f.name: getattr(args, f.name) for f in dataclasses.fields(TrainConfig)
@@ -78,84 +144,38 @@ def main():
     if isinstance(cfg_kwargs.get("hmap_iter_thres"), str):
         cfg_kwargs["hmap_iter_thres"] = float(cfg_kwargs["hmap_iter_thres"])
     cfg = TrainConfig(**cfg_kwargs)
-    input_size = args.input_size or cfg.size
-    assert args.fake_data, "round-1 CLI supports --fake_data; real dirs next"
 
-    # Modules: plain mode uses E_Tsr tensor + E_W vector; co-mod modes pair a
-    # vector/tensor-transform encoder with a W+ encoder (train.py:391-430).
-    style_dim = cfg.latent * (2 if args.co_mod in ("Concatenation",
-                                                   "Tensor Transform") else 1)
-    gen = Generator(size=cfg.size, style_dim=style_dim, n_mlp=cfg.n_mlp,
-                    channel_multiplier=cfg.channel_multiplier)
-    d_module = Discriminator(size=cfg.size,
-                             channel_multiplier=cfg.channel_multiplier)
-    if args.co_mod is None:
-        e_tsr = ResNet18Encoder(tensor_encoding=True)
-        e_mod = ResNet18Encoder(tensor_encoding=False)
-    elif args.co_mod == "Tensor Transform":
-        e_tsr = ResNet18Encoder(tensor_encoding=True, tensor_transform=True)
-        e_mod = GradualStyleEncoder(
-            n_styles=2 * int(math.log2(cfg.size)) - 2, input_size=input_size
-        )
-    else:
-        e_tsr = ResNet18Encoder(tensor_encoding=False)
-        e_mod = GradualStyleEncoder(
-            n_styles=2 * int(math.log2(cfg.size)) - 2, input_size=input_size
-        )
+    from fm3dgan.data import data_loading
+    from fm3dgan.train.loop2 import Trainer2
 
-    key = jax.random.PRNGKey(args.seed)
-    ks = jax.random.split(key, 6)
-    img = jnp.zeros((1, input_size, input_size, 3))
-    small = jnp.zeros((1, cfg.size, cfg.size, 3))
-    v_tsr = jax.jit(e_tsr.init)(ks[0], img)
-    v_mod = jax.jit(e_mod.init)(ks[1], img)
-    v_g = jax.jit(gen.init)(
-        {"params": ks[2], "noise": ks[3]}, jnp.zeros((1, style_dim))
-    )
-    v_d = jax.jit(d_module.init)(ks[4], small)
-    v_d_ffhq = jax.jit(d_module.init)(ks[5], small)
+    mesh = None
+    if args.data_parallel:
+        from fm3dgan.parallel import create_mesh
 
-    r = cfg.g_reg_ratio
-    g_tx = optax.adam(cfg.lr * r, b1=0.0**r, b2=0.99**r, eps=1e-8)
-    d_tx = make_d_optimizer(cfg)
-    enc_params = {
-        "g": v_g["params"],
-        "tensor_encoder": v_tsr["params"],
-        "modulation_encoder": v_mod["params"],
-    }
-    state = {
-        "params": {**enc_params, "d": v_d["params"], "d_ffhq": v_d_ffhq["params"]},
-        "stats": {
-            "g": {k: v for k, v in v_g.items() if k != "params"},
-            "tensor_encoder": {k: v for k, v in v_tsr.items() if k != "params"},
-            "modulation_encoder": {
-                k: v for k, v in v_mod.items() if k != "params"
-            },
-        },
-        "g_ema": jax.tree.map(jnp.copy, v_g["params"]),
-        "g_opt": g_tx.init(enc_params),
-        "d_opt": d_tx.init(v_d["params"]),
-        "d_ffhq_opt": d_tx.init(v_d_ffhq["params"]),
-        "mean_path_length": jnp.zeros(()),
-    }
-
-    steps = make_2encoder_step_fns(
-        e_tsr, e_mod, gen, d_module, cfg,
-        mod_encode=args.mod_encode, co_modulation=args.co_mod,
-    )
-    ffhq_steps = None
-    if args.ds_dataset_type == "FFHQ":
-        ffhq_steps = make_2encoder_ffhq_ds_steps(
-            e_tsr, e_mod, gen, d_module, cfg,
-            g_tx, mod_encode=args.mod_encode, co_modulation=args.co_mod,
-        )
+        mesh = create_mesh()
 
     os.makedirs(args.exp_dir, exist_ok=True)
+    ckpt_dir = os.path.join(args.exp_dir, "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
     log_path = os.path.join(args.exp_dir, "training_log.jsonl")
-    rec = RandomFakeData(cfg.rec_batch, input_size, seed=1)
-    ds = RandomFakeData(cfg.ds_batch, input_size, seed=2)
-    ffhq = RandomFakeData(cfg.ds_batch, cfg.size, seed=3)
-    rng = np.random.RandomState(args.seed)
+
+    trainer = Trainer2(
+        cfg,
+        seed=args.seed,
+        mod_encode=args.mod_encode,
+        co_modulation=args.co_mod,
+        ds_dataset_type=args.ds_dataset_type,
+        mesh=mesh,
+        use_lpips=cfg.lpips_loss_lambda > 0,
+        use_arcface=cfg.face_id_loss_lambda > 0,
+        input_size=args.input_size,
+    )
+    start_iter = 0
+    if args.resume_dir:
+        trainer.load_checkpoint(args.resume_dir, args.resume_step)
+        start_iter = args.resume_step + 1
+
+    rec, ds, ffhq = make_loaders(args, cfg)
 
     def downref(x):
         if x.shape[1] == cfg.size:
@@ -164,69 +184,21 @@ def main():
         return x.reshape(x.shape[0], cfg.size, f, cfg.size, f, 3).mean((2, 4))
 
     with open(log_path, "a") as logf:
-        last_r1 = 0.0
-        last_reg = {"g_reg": 0.0, "path_length": 0.0}
-        for i in range(cfg.training_iters):
+        for i in range(start_iter, cfg.training_iters):
             t0 = time.time()
             ds_flag = cfg.is_ds_iter(i)
-            metrics = {}
+            ffhq_ref = None
             if ds_flag and args.ds_dataset_type == "FFHQ":
-                photo, r_edit = next(ds)
-                (ffhq_ref,) = (next(ffhq)[0],)
-                key_i = jax.random.PRNGKey(1000 + i)
-                st = state
-                st["params"], st["stats"], st["d_ffhq_opt"], m = ffhq_steps[
-                    "d_ffhq_step"
-                ](st["params"], st["stats"], st["d_ffhq_opt"],
-                  jnp.asarray(photo), jnp.asarray(r_edit),
-                  jnp.asarray(downref(ffhq_ref)))
-                metrics.update(m)
-                if i % cfg.d_reg_every == 0:
-                    st["params"], st["d_ffhq_opt"], m = ffhq_steps[
-                        "d_ffhq_reg_step"
-                    ](st["params"], st["d_ffhq_opt"], jnp.asarray(downref(ffhq_ref)))
-                    metrics.update(m)
-                st["params"], st["stats"], st["g_opt"], fake, m = ffhq_steps[
-                    "g_ffhq_ds_step"
-                ](st["params"], st["stats"], st["g_opt"], jnp.asarray(photo),
-                  jnp.asarray(r_edit), jnp.asarray(downref(photo)), {})
-                metrics.update(m)
-                g_input, r_input, g_ref = photo, r_edit, downref(photo)
+                g_input, r_input = next(ds)
+                g_ref = downref(g_input)
+                ffhq_ref = downref(next(ffhq)[0])
             else:
                 g_input, r_input, g_ref = data_loading(rec, ds, ds_flag)
                 g_ref = downref(g_ref)
 
-            key_i = jax.random.PRNGKey(2000 + i)
-            state, m = steps["d_step"](
-                state, jnp.asarray(g_input), jnp.asarray(r_input),
-                jnp.asarray(g_ref), key_i,
+            metrics = trainer.train_iteration(
+                i, g_input, r_input, g_ref, ffhq_ref=ffhq_ref
             )
-            metrics.update(m)
-            if i % cfg.d_reg_every == 0:
-                state, m = steps["d_reg_step"](state, jnp.asarray(g_ref))
-                last_r1 = float(m["r1"])
-            metrics["r1"] = last_r1
-            will_reg = (
-                cfg.use_g_reg and i % cfg.g_reg_every == 0
-                and args.co_mod is None
-            )
-            state, m = steps["g_step"](
-                state, jnp.asarray(g_input), jnp.asarray(r_input),
-                jnp.asarray(g_ref), key_i, {},
-                ds_flag, False, not will_reg,
-            )
-            metrics.update(m)
-            if will_reg:
-                bsz = g_input.shape[0]
-                n_sub = max(1, bsz // cfg.path_reg_batch_shrink)
-                idx = np.sort(rng.choice(bsz, n_sub, replace=False))
-                state, m = steps["g_reg_step"](
-                    state, jnp.asarray(g_input[idx]), jnp.asarray(r_input[idx]),
-                    key_i, True,
-                )
-                last_reg = {k: float(v) for k, v in m.items()}
-            metrics.update(last_reg)
-
             dt = time.time() - t0
             line = {
                 "iter": i, "time_s": round(dt, 3),
@@ -237,8 +209,11 @@ def main():
             logf.flush()
             print(
                 f"[{i}] d={line.get('d', 0):.4f} g={line.get('g', 0):.4f} "
-                f"({dt:.2f}s)" + (" [DS]" if ds_flag else "")
+                f"ppl={line.get('g_reg', 0):.4f} ({dt:.2f}s)"
+                + (" [DS]" if ds_flag else "")
             )
+            if i % cfg.model_save_freq == 0 and i > 0:
+                trainer.save_checkpoint(ckpt_dir, i)
 
 
 if __name__ == "__main__":

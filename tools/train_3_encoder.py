@@ -49,6 +49,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--input_size", type=int, default=None,
                    help="encoder input resolution (default: --size)")
+    p.add_argument("--fan_input_size", type=int, default=256,
+                   help="heatmap FAN input resolution (256 for pretrained "
+                        "2DFAN-4 weights; smaller for smoke runs)")
     p.add_argument("--fake_data", action="store_true")
     p.add_argument("--rec_data_dir", type=str, default=None,
                    help="dir with img/ and render_img/ subfolders")
@@ -56,6 +59,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="synthetic id_XXXXX/{g,r}_K.png pair dir")
     p.add_argument("--ep_data_dir", type=str, default=None,
                    help="extreme-pose pair dir")
+    p.add_argument("--rec_eval_dir", type=str, default=None,
+                   help="held-out recon eval dir (img/ + render_img/)")
+    p.add_argument("--edit_eval_dir", type=str, default=None,
+                   help="held-out edit eval dir (img/ + edit_render_img/)")
+    p.add_argument("--fid_stats_path", type=str, default=None,
+                   help="precomputed FFHQ inception stats .pkl/.npz for the "
+                        "edit-score FID (Evaluation/quant_eval.py:23)")
+    p.add_argument("--inception_ckpt", type=str, default=None,
+                   help="pytorch-fid InceptionV3 .pth for in-loop FID")
+    p.add_argument("--n_eval_batches", type=int, default=None,
+                   help="cap on eval batches per score pass")
+    p.add_argument("--val_bundle_dir", type=str, default=None,
+                   help="dir of .npy visual-val bundles "
+                        "(visual_test_img_generation.py layout)")
+    p.add_argument("--n_real_eval_faces", type=int, default=2)
+    p.add_argument("--n_syn_eval_faces", type=int, default=2)
     p.add_argument("--n_data_workers", type=int, default=4)
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices")
@@ -139,7 +158,8 @@ def main():
     log_path = os.path.join(args.exp_dir, "training_log.jsonl")
 
     trainer = Trainer(
-        cfg, seed=args.seed, mesh=mesh, input_size=args.input_size
+        cfg, seed=args.seed, mesh=mesh, input_size=args.input_size,
+        fan_input_size=args.fan_input_size,
     )
     start_iter = 0
     if args.resume_dir:
@@ -148,6 +168,15 @@ def main():
 
     rec, ds, ep = make_loaders(args, cfg)
     from fm3dgan.data import data_loading
+
+    # In-training quantitative eval (Sample_Eval_Save_Ckpt,
+    # train_3_encoder.py:708-733): recon + edit scores from the EMA stack
+    # every model_save_freq iters, appended to the JSONL log.
+    eval_hook = _make_eval_hook(args, cfg, trainer)
+    # Fixed visual val set (Visual_Evaluation_Setup, train_3_encoder.py:860 /
+    # visual_eval.py:40-83) — in-training grids render this held-out set, not
+    # the current training batch.
+    val_sets = _make_val_sets(args, cfg)
 
     with open(log_path, "a") as logf:
         for i in range(start_iter, cfg.training_iters):
@@ -187,10 +216,127 @@ def main():
             # Visual sample grid every val_sample_freq iters with the EMA
             # generator (Sample_Eval_Save_Ckpt, train_3_encoder.py:667-706).
             if i % cfg.val_sample_freq == 0 and i > 0:
-                _save_sample_grid(trainer, g_input, r_input, sample_dir, i)
+                if val_sets is not None:
+                    _save_val_set_grid(trainer, val_sets, sample_dir, i)
+                else:
+                    _save_sample_grid(trainer, g_input, r_input, sample_dir, i)
 
             if i % cfg.model_save_freq == 0 and i > 0:
+                if eval_hook is not None:
+                    scores = eval_hook(i)
+                    logf.write(json.dumps({"eval": scores}) + "\n")
+                    logf.flush()
+                    printable = {
+                        k: round(v, 4)
+                        for k, v in scores.items()
+                        if isinstance(v, float) and np.isfinite(v)
+                    }
+                    print(f"[{i}] quant eval: {printable}")
                 trainer.save_checkpoint(ckpt_dir, i)
+
+
+def _make_eval_hook(args, cfg, trainer):
+    from fm3dgan.train.eval_hook import (
+        QuantEvalHook,
+        make_dir_eval_batches,
+        make_fake_eval_batches,
+    )
+
+    if args.rec_eval_dir or args.edit_eval_dir:
+        rec_fn, edit_fn = make_dir_eval_batches(
+            args.rec_eval_dir,
+            args.edit_eval_dir,
+            cfg.quant_eval_batch_size,
+            n_batches=args.n_eval_batches,
+        )
+    elif args.fake_data:
+        rec_fn, edit_fn = make_fake_eval_batches(
+            args.input_size or cfg.size, batch=2,
+            n_batches=args.n_eval_batches or 1,
+        )
+    else:
+        return None
+
+    inception_fn = None
+    real_stats = None
+    if args.fid_stats_path:
+        import jax
+        import jax.numpy as jnp
+
+        from fm3dgan.eval.fid import load_stats
+        from fm3dgan.models.inception import InceptionV3Pool3
+
+        real_stats = load_stats(args.fid_stats_path)
+        module = InceptionV3Pool3()
+        if args.inception_ckpt:
+            from fm3dgan.compat.torch_port import load_torch_state_dict
+            from fm3dgan.models.inception import convert_fid_inception
+
+            variables = convert_fid_inception(
+                load_torch_state_dict(args.inception_ckpt)
+            )
+        else:
+            print("WARNING: random-init inception features for in-loop FID")
+            variables = jax.jit(module.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3))
+            )
+        apply = jax.jit(lambda v, x: module.apply(v, x))
+        inception_fn = lambda x: apply(variables, x)
+
+    return QuantEvalHook(
+        trainer,
+        rec_batches=rec_fn,
+        edit_batches=edit_fn,
+        inception_fn=inception_fn,
+        real_stats=real_stats,
+    )
+
+
+def _make_val_sets(args, cfg):
+    """Fixed visual val sets: .npy bundles and/or synthetic ids; a fixed
+    random set for --fake_data (visual_eval.py:40-83)."""
+    import glob
+
+    size = args.input_size or cfg.size
+    rng = np.random.RandomState(args.seed + 77)
+    sets = []
+    if args.val_bundle_dir:
+        from fm3dgan.eval.visual_eval import get_real_img_val_sample
+
+        paths = sorted(glob.glob(os.path.join(args.val_bundle_dir, "*.npy")))
+        sets += get_real_img_val_sample(
+            paths, args.n_real_eval_faces, size=size, rng=rng
+        )
+    if args.ds_data_dir and not args.fake_data:
+        from fm3dgan.data import SyntheticPairDataset
+        from fm3dgan.eval.visual_eval import get_syn_img_val_sample
+
+        ds_set = SyntheticPairDataset(args.ds_data_dir)
+        sets += get_syn_img_val_sample(
+            ds_set, args.n_syn_eval_faces,
+            n_img_per_id=ds_set.n_img_per_id, rng=rng,
+        )
+    if not sets and args.fake_data:
+        for _ in range(2):
+            sets += [
+                rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
+                for _ in range(3)
+            ]
+    return sets or None
+
+
+def _save_val_set_grid(trainer, val_sets, sample_dir, step):
+    from fm3dgan.eval.visual_eval import (
+        get_val_sample_grid,
+        grid_to_image,
+        save_image,
+    )
+    from fm3dgan.train.eval_hook import ema_forward_fn
+
+    grid = get_val_sample_grid(ema_forward_fn(trainer), val_sets)
+    save_image(
+        os.path.join(sample_dir, f"{step:06d}.png"), grid_to_image(grid)
+    )
 
 
 def _save_sample_grid(trainer, photos, renders, sample_dir, step, n=4):
