@@ -335,6 +335,65 @@ def convert_psp_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_ir_backbone(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """IR/IR-SE recognition Backbone (model_irse.py:18-57) -> flax.
+
+    output_layer = [BatchNorm2d, Dropout, Flatten, Linear, BatchNorm1d]
+    (model_irse.py:32-43); BatchNorm1d may be affine=False (IR_50 etc.), in
+    which case only running stats exist.  The Linear needs no NCHW-flatten
+    reorder because the flax Backbone transposes to NCHW before flattening.
+    """
+    sd = _strip_module(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(dst, src):
+        if f"{src}.weight" in sd:
+            _set(params, f"{dst}/scale", sd[f"{src}.weight"])
+            _set(params, f"{dst}/bias", sd[f"{src}.bias"])
+        _set(stats, f"{dst}/mean", sd[f"{src}.running_mean"])
+        _set(stats, f"{dst}/var", sd[f"{src}.running_var"])
+
+    _set(params, "input_conv/kernel", _conv(sd["input_layer.0.weight"]))
+    bn("input_bn", "input_layer.1")
+    _set(params, "input_prelu/alpha", sd["input_layer.2.weight"])
+
+    body_idx = 0
+    while f"body.{body_idx}.res_layer.1.weight" in sd:
+        dst = f"body_{body_idx}"
+        src = f"body.{body_idx}"
+        if f"{src}.shortcut_layer.0.weight" in sd:
+            _set(
+                params,
+                f"{dst}/shortcut_conv/kernel",
+                _conv(sd[f"{src}.shortcut_layer.0.weight"]),
+            )
+            bn(f"{dst}/shortcut_bn", f"{src}.shortcut_layer.1")
+        bn(f"{dst}/bn0", f"{src}.res_layer.0")
+        _set(params, f"{dst}/conv1/kernel", _conv(sd[f"{src}.res_layer.1.weight"]))
+        _set(params, f"{dst}/prelu/alpha", sd[f"{src}.res_layer.2.weight"])
+        _set(params, f"{dst}/conv2/kernel", _conv(sd[f"{src}.res_layer.3.weight"]))
+        bn(f"{dst}/bn2", f"{src}.res_layer.4")
+        if f"{src}.res_layer.5.fc1.weight" in sd:
+            _set(
+                params,
+                f"{dst}/se/fc1/kernel",
+                _conv(sd[f"{src}.res_layer.5.fc1.weight"]),
+            )
+            _set(
+                params,
+                f"{dst}/se/fc2/kernel",
+                _conv(sd[f"{src}.res_layer.5.fc2.weight"]),
+            )
+        body_idx += 1
+
+    bn("output_bn", "output_layer.0")
+    _set(params, "output_fc/kernel", _linear(sd["output_layer.3.weight"]))
+    _set(params, "output_fc/bias", sd["output_layer.3.bias"])
+    bn("output_bn1d", "output_layer.4")
+    return {"params": params, "batch_stats": stats}
+
+
 # ---------------------------------------------------------------------------
 # ArcFace ResNetFace-18
 # ---------------------------------------------------------------------------

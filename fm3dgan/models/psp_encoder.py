@@ -179,6 +179,94 @@ class GradualStyleBlock(nn.Module):
         return EqualLinear(self.out_c, name="linear")(x)
 
 
+class Backbone(nn.Module):
+    """IR / IR-SE face-recognition backbone (model_irse.py:18-57).
+
+    input 112/224px RGB -> l2-normalized [N, 512] embedding.  Completes the
+    reference's declared-but-untrained recognition family (IR_50 etc.,
+    model_irse.py:60-93); shares BottleneckIRSE (use_se toggles IR vs IR-SE).
+    """
+
+    input_size: int = 112
+    num_layers: int = 50
+    mode: str = "ir"
+    drop_ratio: float = 0.4
+    affine: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.input_size in (112, 224), "input_size should be 112 or 224"
+        assert self.num_layers in (50, 100, 152)
+        assert self.mode in ("ir", "ir_se")
+        use_se = self.mode == "ir_se"
+        blocks = get_blocks(self.num_layers)
+
+        x = nn.Conv(
+            64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name="input_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="input_bn",
+        )(x)
+        x = PReLU(name="input_prelu")(x)
+
+        unit_idx = 0
+        for stage in blocks:
+            for (_, depth, stride) in stage:
+                x = BottleneckIRSE(
+                    depth, stride, use_se=use_se, dtype=self.dtype,
+                    name=f"body_{unit_idx}",
+                )(x, train)
+                unit_idx += 1
+
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="output_bn",
+        )(x)
+        x = nn.Dropout(self.drop_ratio, deterministic=not train)(x)
+        # torch Flatten runs over NCHW (model_irse.py:35-42) — transpose so a
+        # ported Linear weight needs only the standard NCHW-flatten reorder.
+        n, h, w, c = x.shape
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, c * h * w)
+        x = nn.Dense(512, dtype=self.dtype, name="output_fc")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_scale=self.affine, use_bias=self.affine, dtype=self.dtype,
+            name="output_bn1d",
+        )(x)
+        # l2_norm (helpers.py): x / ||x||_2, no eps.
+        return x / jnp.linalg.norm(
+            x.astype(jnp.float32), axis=-1, keepdims=True
+        ).astype(x.dtype)
+
+
+def IR_50(input_size: int = 112) -> Backbone:
+    """ir-50 (model_irse.py:60-63)."""
+    return Backbone(input_size, num_layers=50, mode="ir", affine=False)
+
+
+def IR_101(input_size: int = 112) -> Backbone:
+    return Backbone(input_size, num_layers=100, mode="ir", affine=False)
+
+
+def IR_152(input_size: int = 112) -> Backbone:
+    return Backbone(input_size, num_layers=152, mode="ir", affine=False)
+
+
+def IR_SE_50(input_size: int = 112) -> Backbone:
+    return Backbone(input_size, num_layers=50, mode="ir_se", affine=False)
+
+
+def IR_SE_101(input_size: int = 112) -> Backbone:
+    return Backbone(input_size, num_layers=100, mode="ir_se", affine=False)
+
+
+def IR_SE_152(input_size: int = 112) -> Backbone:
+    return Backbone(input_size, num_layers=152, mode="ir_se", affine=False)
+
+
 class GradualStyleEncoder(nn.Module):
     """E_W+: photo -> [N, n_styles, 512] W+ codes."""
 

@@ -144,7 +144,13 @@ def _upfirdn2d_xla(
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        precision=lax.Precision.HIGHEST,
+        # fp32 needs HIGHEST to stop XLA downcasting the FIR taps to bf16;
+        # for bf16 inputs HIGHEST would force a slower multi-pass upcast.
+        precision=(
+            lax.Precision.HIGHEST
+            if x.dtype == jnp.float32
+            else lax.Precision.DEFAULT
+        ),
     )
     return out
 

@@ -62,8 +62,14 @@ class Trainer:
             channel_multiplier=config.channel_multiplier,
             dtype=jnp.dtype(config.compute_dtype),
         )
-        self.lpips_module = LPIPS() if use_lpips else None
-        self.arcface_module = ResNetFace18(use_se=False) if use_arcface else None
+        # Frozen loss nets run in the training compute dtype too — the LPIPS
+        # VGG16 fwd+bwd at full resolution is one of the heaviest G-step
+        # segments; leaving it fp32 halves its MXU throughput.
+        cdtype = jnp.dtype(config.compute_dtype)
+        self.lpips_module = LPIPS(dtype=cdtype) if use_lpips else None
+        self.arcface_module = (
+            ResNetFace18(use_se=False, dtype=cdtype) if use_arcface else None
+        )
         # FAN heatmap net: built when the heatmap loss can ever fire
         # (hmap_loss_lambda > 0, gated by hmap_iter_thres at step time —
         # train_3_encoder.py:538-541).
@@ -73,7 +79,7 @@ class Trainer:
         if use_fan:
             from fm3dgan.models.fan_landmark import FAN
 
-            self.fan_module = FAN()
+            self.fan_module = FAN(dtype=cdtype)
         else:
             self.fan_module = None
 
@@ -214,28 +220,19 @@ class Trainer:
         return tuple(jnp.asarray(a) for a in arrays)
 
     def train_iteration(
-        self, iter_idx: int, g_input, r_input, g_ref
+        self, iter_idx: int, g_input, r_input, g_ref, fused: bool = True
     ) -> Dict[str, Any]:
         """One full reference iteration (train_3_encoder.py:779-822):
-        D step, lazy R1, G step, lazy PPL, EMA."""
+        D step, lazy R1, G step, lazy PPL, EMA.
+
+        fused=True runs the whole iteration as ONE jitted dispatch
+        (steps.fused_iteration_step) — same update order, 2-4x fewer host
+        round-trips; False dispatches the four steps separately."""
         cfg = self.config
         ds_flag = cfg.is_ds_iter(iter_idx)
         extreme = cfg.is_extreme_ds_iter(iter_idx)
         use_edit = bool(ds_flag and cfg.use_separate_d)
-
-        photo, render, ref = self._put(g_input, r_input, g_ref)
-        metrics: Dict[str, Any] = {}
-
-        self.state, d_m = self.steps["d_step"](
-            self.state, photo, render, ref, self._next_key(), use_edit
-        )
-        metrics.update(d_m)
-
-        if iter_idx % cfg.d_reg_every == 0:
-            self.state, r1_m = self.steps["d_reg_step"](self.state, ref, use_edit)
-            self._last_r1 = r1_m["r1"]
-        metrics["r1"] = self._last_r1
-
+        do_r1 = iter_idx % cfg.d_reg_every == 0
         will_g_reg = cfg.use_g_reg and iter_idx % cfg.g_reg_every == 0
         # Heatmap loss fires past the iteration threshold
         # (train_3_encoder.py:538-541).
@@ -244,41 +241,91 @@ class Trainer:
             and cfg.hmap_loss_lambda > 0
             and iter_idx > cfg.hmap_iter_thres
         )
-        # EMA is fused into the LAST G update of the iteration (one EMA
-        # application per iteration, after all updates — the reference's
-        # accumulate() placement, train_3_encoder.py:822).
-        self.state, g_m = self.steps["g_step"](
-            self.state,
-            photo,
-            render,
-            ref,
-            self._next_key(),
-            self.frozen,
-            use_edit,
-            ds_flag,
-            extreme,
-            apply_hmap,
-            not will_g_reg,
-        )
-        metrics.update(g_m)
 
+        photo, render, ref = self._put(g_input, r_input, g_ref)
+        metrics: Dict[str, Any] = {}
+
+        # Host-side random subset CHOICE for the PPL batch
+        # (train_3_encoder.py:568-570), device-side slicing.  Drawn every
+        # g_reg cadence point so fused/unfused runs consume the same RNG
+        # stream.
+        bsz = photo.shape[0]
+        path_bsz = max(1, bsz // cfg.path_reg_batch_shrink)
         if will_g_reg:
-            # Host-side random subset CHOICE (train_3_encoder.py:568-570) but
-            # device-side slicing — pulling the batch back to the host costs a
-            # full tunnel round-trip.
-            bsz = photo.shape[0]
-            path_bsz = max(1, bsz // cfg.path_reg_batch_shrink)
             idx = np.sort(
                 self._host_rng.choice(bsz, size=path_bsz, replace=False)
             )
-            p_sub = jnp.take(photo, jnp.asarray(idx), axis=0)
-            r_sub = jnp.take(render, jnp.asarray(idx), axis=0)
-            if self.mesh is not None:
-                p_sub, r_sub = self._put(p_sub, r_sub)
-            self.state, gr_m = self.steps["g_reg_step"](
-                self.state, p_sub, r_sub, self._next_key(), True
+        else:
+            idx = np.arange(path_bsz)
+
+        if fused:
+            self.state, m = self.steps["fused_iteration_step"](
+                self.state,
+                photo,
+                render,
+                ref,
+                self._next_key(),
+                self._next_key(),
+                self._next_key(),
+                jnp.asarray(idx),
+                self.frozen,
+                use_edit,
+                ds_flag,
+                extreme,
+                do_r1,
+                will_g_reg,
+                apply_hmap,
             )
-            self._last_greg = gr_m
+            if do_r1:
+                self._last_r1 = m["r1"]
+            if will_g_reg:
+                self._last_greg = {
+                    "g_reg": m["g_reg"], "path_length": m["path_length"]
+                }
+            metrics.update(m)
+        else:
+            self.state, d_m = self.steps["d_step"](
+                self.state, photo, render, ref, self._next_key(), use_edit
+            )
+            metrics.update(d_m)
+
+            if do_r1:
+                self.state, r1_m = self.steps["d_reg_step"](
+                    self.state, ref, use_edit
+                )
+                self._last_r1 = r1_m["r1"]
+
+            g_rng = self._next_key()
+            ppl_rng = self._next_key()
+            # EMA is fused into the LAST G update of the iteration (one EMA
+            # application per iteration, after all updates — the reference's
+            # accumulate() placement, train_3_encoder.py:822).
+            self.state, g_m = self.steps["g_step"](
+                self.state,
+                photo,
+                render,
+                ref,
+                g_rng,
+                self.frozen,
+                use_edit,
+                ds_flag,
+                extreme,
+                apply_hmap,
+                not will_g_reg,
+            )
+            metrics.update(g_m)
+
+            if will_g_reg:
+                p_sub = jnp.take(photo, jnp.asarray(idx), axis=0)
+                r_sub = jnp.take(render, jnp.asarray(idx), axis=0)
+                if self.mesh is not None:
+                    p_sub, r_sub = self._put(p_sub, r_sub)
+                self.state, gr_m = self.steps["g_reg_step"](
+                    self.state, p_sub, r_sub, ppl_rng, True
+                )
+                self._last_greg = gr_m
+
+        metrics["r1"] = self._last_r1
         metrics.update(self._last_greg)
         metrics["ds_flag"] = ds_flag
         metrics["extreme_ds_flag"] = extreme

@@ -115,10 +115,7 @@ def make_step_fns(
 
     # ---------------- D step (train_3_encoder.py:448-477) ----------------
 
-    @functools.partial(
-        jax.jit, static_argnames=("use_edit",), donate_argnums=(0,)
-    )
-    def d_step(state: TrainState, photo, render, ref, rng, use_edit: bool):
+    def _d_impl(state: TrainState, photo, render, ref, rng, use_edit: bool):
         d_key = "d_edit" if use_edit else "d"
         fake, new_stats = forward_full(
             models, state.params, state.stats, photo, render, config,
@@ -149,12 +146,13 @@ def make_step_fns(
         metrics = {"d": loss, "ref_score": ref_score, "out_score": out_score}
         return state, metrics
 
+    d_step = functools.partial(
+        jax.jit, static_argnames=("use_edit",), donate_argnums=(0,)
+    )(_d_impl)
+
     # ---------------- D regularization (R1) (:479-493) -------------------
 
-    @functools.partial(
-        jax.jit, static_argnames=("use_edit",), donate_argnums=(0,)
-    )
-    def d_reg_step(state: TrainState, ref, use_edit: bool):
+    def _d_reg_impl(state: TrainState, ref, use_edit: bool):
         d_key = "d_edit" if use_edit else "d"
 
         def loss_fn(d_params):
@@ -180,6 +178,10 @@ def make_step_fns(
         )
         return state, {"r1": r1}
 
+    d_reg_step = functools.partial(
+        jax.jit, static_argnames=("use_edit",), donate_argnums=(0,)
+    )(_d_reg_impl)
+
     # ---------------- G step (:495-558) -----------------------------------
 
     g_enc_keys = ("g", "e_tsr", "e_w", "e_w_plus")
@@ -190,12 +192,7 @@ def make_step_fns(
             lambda e, p: d * e + (1.0 - d) * p, ema_params, g_params
         )
 
-    @functools.partial(
-        jax.jit, static_argnames=("use_edit", "ds_flag", "extreme_ds_flag",
-                                  "apply_hmap", "apply_ema"),
-        donate_argnums=(0,),
-    )
-    def g_step(
+    def _g_impl(
         state: TrainState,
         photo,
         render,
@@ -301,12 +298,15 @@ def make_step_fns(
         state = state.replace(**replace_kwargs)
         return state, metrics
 
+    g_step = functools.partial(
+        jax.jit, static_argnames=("use_edit", "ds_flag", "extreme_ds_flag",
+                                  "apply_hmap", "apply_ema"),
+        donate_argnums=(0,),
+    )(_g_impl)
+
     # ---------------- G regularization (PPL) (:561-596) -------------------
 
-    @functools.partial(
-        jax.jit, static_argnames=("apply_ema",), donate_argnums=(0,)
-    )
-    def g_reg_step(state: TrainState, photo, render, rng, apply_ema: bool = False):
+    def _g_reg_impl(state: TrainState, photo, render, rng, apply_ema: bool = False):
         """photo/render: pre-sliced path-reg batch (host does the random
         subset choice, train_3_encoder.py:568-570)."""
         noise_key, ppl_key = jax.random.split(rng)
@@ -349,6 +349,61 @@ def make_step_fns(
         state = state.replace(**replace_kwargs)
         return state, {"g_reg": penalty, "path_length": mean_pl}
 
+    g_reg_step = functools.partial(
+        jax.jit, static_argnames=("apply_ema",), donate_argnums=(0,)
+    )(_g_reg_impl)
+
+    # ---------------- Fused full iteration --------------------------------
+    # One device dispatch per training iteration instead of 2-4: over a
+    # remote/tunneled TPU each dispatch costs a host round-trip (~100ms of
+    # the measured step at batch 32), and on any host it repeats the pytree
+    # flatten of the full parameter set.  Sequencing D -> (R1) -> G -> (PPL)
+    # inside one jit preserves the reference update order exactly
+    # (train_3_encoder.py:779-822).
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "use_edit", "ds_flag", "extreme_ds_flag", "do_r1", "do_g_reg",
+            "apply_hmap",
+        ),
+        donate_argnums=(0,),
+    )
+    def fused_iteration_step(
+        state: TrainState,
+        photo,
+        render,
+        ref,
+        d_rng,
+        g_rng,
+        ppl_rng,
+        ppl_idx,
+        frozen: Dict[str, Any],
+        use_edit: bool,
+        ds_flag: bool,
+        extreme_ds_flag: bool,
+        do_r1: bool,
+        do_g_reg: bool,
+        apply_hmap: bool = False,
+    ):
+        metrics: Dict[str, Any] = {}
+        state, d_m = _d_impl(state, photo, render, ref, d_rng, use_edit)
+        metrics.update(d_m)
+        if do_r1:
+            state, r1_m = _d_reg_impl(state, ref, use_edit)
+            metrics.update(r1_m)
+        state, g_m = _g_impl(
+            state, photo, render, ref, g_rng, frozen, use_edit, ds_flag,
+            extreme_ds_flag, apply_hmap, not do_g_reg,
+        )
+        metrics.update(g_m)
+        if do_g_reg:
+            p_sub = jnp.take(photo, ppl_idx, axis=0)
+            r_sub = jnp.take(render, ppl_idx, axis=0)
+            state, gr_m = _g_reg_impl(state, p_sub, r_sub, ppl_rng, True)
+            metrics.update(gr_m)
+        return state, metrics
+
     # ---------------- EMA (:195-200, 776) ---------------------------------
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -367,4 +422,5 @@ def make_step_fns(
         "g_step": g_step,
         "g_reg_step": g_reg_step,
         "ema_step": ema_step,
+        "fused_iteration_step": fused_iteration_step,
     }

@@ -172,6 +172,26 @@ def test_arcface_golden(ref_modules):
     np.testing.assert_allclose(out, ref_out, atol=5e-4, rtol=1e-3)
 
 
+def test_ir50_backbone_golden(ref_modules):
+    torch = ref_modules.torch
+    torch.manual_seed(4)
+    import psp_encoder_model.encoders.model_irse as ref_irse
+
+    from fm3dgan.compat.torch_port import convert_ir_backbone
+    from fm3dgan.models.psp_encoder import IR_50
+
+    ref = ref_irse.IR_50(112).eval()
+    variables = convert_ir_backbone(_sd_numpy(ref))
+    ours = IR_50(112)
+
+    rng = np.random.RandomState(4)
+    x = rng.uniform(-1, 1, (2, 112, 112, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(_nchw(x))).numpy()  # [N,512] l2-normed
+    out = np.asarray(jax.jit(lambda v, x: ours.apply(v, x))(variables, x))
+    np.testing.assert_allclose(out, ref_out, atol=5e-4, rtol=1e-3)
+
+
 def _build_torch_vgg16_features(torch):
     """torchvision VGG16 `.features` layout as a plain Sequential
     (pretrained_networks.py:106-147 slices it at relu indices

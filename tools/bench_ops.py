@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
 """Micro-benchmarks for the core ops on TPU vs the HBM roofline.
 
-Measures the StyleGAN2-hot upfirdn2d configurations (generator blur, ToRGB
-skip upsample, discriminator blur) and fused_leaky_relu, reporting achieved
-bytes/s against the chip's approximate HBM bandwidth — the decision input for
-which modes deserve Pallas kernels (vs XLA's depthwise-conv lowering).
+Measures the StyleGAN2-hot upfirdn2d configurations (generator blur, 2x
+upsample, 2x downsample, ToRGB skip upsample) under BOTH backends — the XLA
+depthwise-conv lowering and the Pallas kernels — plus fused_leaky_relu,
+reporting achieved bytes/s against the chip's approximate HBM bandwidth.
+This is the decision table for which modes default to Pallas
+(fm3dgan/ops/upfirdn2d.py mode dispatch).
 
   python tools/bench_ops.py [--batch 16] [--iters 50]
 """
@@ -23,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/fm3dgan_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # v5e: ~819 GB/s HBM BW.
 HBM_GBPS = 819.0
@@ -54,6 +57,7 @@ def main():
     dtype = jnp.dtype(args.dtype)
     bpe = dtype.itemsize
 
+    import fm3dgan.ops.upfirdn2d as u_mod
     from fm3dgan.ops import fused_leaky_relu, make_kernel, upfirdn2d
     from fm3dgan.ops.upfirdn2d import upsample2d
 
@@ -84,32 +88,64 @@ def main():
             return s
         return f
 
+    # (name, build(shape-preserving?), x, bytes_factor)
+    # bytes_factor: (in + out) bytes as a multiple of input bytes.
     cases = []
     for h, c in [(8, 512), (16, 512), (32, 512), (64, 512), (128, 256), (256, 128)]:
         x = jnp.asarray(rng.randn(n, h, h, c).astype(dtype))
         cases.append(
             # pad (2,1), k=4: output shape == input shape (chainable).
             (f"blur k4 {h}x{h}x{c}",
-             looped(lambda y: upfirdn2d(y, k, 1, 1, (2, 1))),
-             x, 1.0)
+             lambda: looped(lambda y: upfirdn2d(y, k, 1, 1, (2, 1))),
+             x, 2.0)
+        )
+    for h, c in [(8, 512), (16, 512), (32, 512), (64, 512), (128, 256)]:
+        x = jnp.asarray(rng.randn(n, h, h, c).astype(dtype))
+        cases.append(
+            (f"up2 k4 {h}x{h}x{c}",
+             lambda: looped_reduce(lambda y: upfirdn2d(y, k * 4.0, 2, 1, (2, 1))),
+             x, 5.0)
+        )
+    for h, c in [(16, 512), (32, 512), (64, 512), (128, 256), (256, 128)]:
+        x = jnp.asarray(rng.randn(n, h, h, c).astype(dtype))
+        cases.append(
+            (f"down2 k4 {h}x{h}x{c}",
+             lambda: looped_reduce(lambda y: upfirdn2d(y, k, 1, 2, (1, 1))),
+             x, 1.25)
         )
     for h in [32, 64, 128]:
         x = jnp.asarray(rng.randn(n, h, h, 3).astype(dtype))
         cases.append(
-            (f"up2 skip {h}x{h}x3", looped_reduce(lambda y: upsample2d(y, k)), x, 4.0)
+            (f"up2 skip {h}x{h}x3",
+             lambda: looped_reduce(lambda y: upsample2d(y, k)), x, 5.0)
         )
+
+    print(f"{'case':24s} {'xla ms':>8s} {'GB/s':>7s}  {'pallas ms':>9s} "
+          f"{'GB/s':>7s}  {'win':>7s}")
+    for name, build, x, bytes_factor in cases:
+        row = {}
+        for backend in ("xla", "pallas"):
+            u_mod.set_backend(backend)
+            try:
+                dt = time_fn(build(), x, iters=args.iters) / K
+            finally:
+                u_mod.set_backend("xla")
+            nbytes = x.size * bpe * bytes_factor
+            row[backend] = (dt, nbytes / dt / 1e9)
+        speedup = row["xla"][0] / row["pallas"][0]
+        print(
+            f"{name:24s} {row['xla'][0]*1e3:8.3f} {row['xla'][1]:7.1f}  "
+            f"{row['pallas'][0]*1e3:9.3f} {row['pallas'][1]:7.1f}  "
+            f"{speedup:6.2f}x"
+        )
+
     x = jnp.asarray(rng.randn(n, 256, 256, 128).astype(dtype))
     b = jnp.asarray(rng.randn(128).astype(dtype))
-    cases.append(
-        ("fused_lrelu 256x256x128", looped(lambda y: fused_leaky_relu(y, b)), x, 1.0)
-    )
-
-    print(f"{'case':28s} {'ms':>8s} {'GB/s':>8s} {'%roof':>6s}")
-    for name, fn, x, out_factor in cases:
-        dt = time_fn(fn, x, iters=args.iters) / K
-        nbytes = x.size * bpe * (1 + out_factor)
-        gbps = nbytes / dt / 1e9
-        print(f"{name:28s} {dt*1e3:8.3f} {gbps:8.1f} {100*gbps/HBM_GBPS:5.1f}%")
+    fl = looped(lambda y: fused_leaky_relu(y, b))
+    dt = time_fn(fl, x, iters=args.iters) / K
+    gbps = x.size * bpe * 2 / dt / 1e9
+    print(f"{'fused_lrelu 256x256x128':24s} {dt*1e3:8.3f} {gbps:7.1f}"
+          f"  ({100*gbps/HBM_GBPS:.0f}% roof)")
 
 
 if __name__ == "__main__":

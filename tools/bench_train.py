@@ -40,9 +40,17 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no_frozen", action="store_true",
                    help="skip LPIPS/ArcFace losses")
+    p.add_argument("--upfirdn_backend", default="xla",
+                   choices=("xla", "pallas"))
+    p.add_argument("--unfused", action="store_true",
+                   help="dispatch D/R1/G/PPL as separate jit calls "
+                        "(default: one fused dispatch per iteration)")
     args = p.parse_args()
 
+    from fm3dgan.ops.upfirdn2d import set_backend
     from fm3dgan.train import TrainConfig, Trainer
+
+    set_backend(args.upfirdn_backend)
 
     cfg = TrainConfig(
         size=args.size,
@@ -77,19 +85,23 @@ def main():
 
     batches = [batch(100 + i) for i in range(4)]
 
-    # Warmup / compile each variant (iter 0 = rec + R1 + PPL; iter 1 = DS).
-    for i in range(2):
-        trainer.train_iteration(i, *batches[i % 4])
+    # Warmup / compile EVERY static combo the timed window will hit
+    # (rec+R1+PPL, ds, rec plain, rec+PPL ... the cadence pattern repeats
+    # every lcm(d_reg_every, g_reg_every) iterations): warm one full window,
+    # then time an identically-phased later window so no compile or
+    # cache-load lands inside the measurement.
+    for i in range(16, 24):
+        trainer.train_iteration(i, *batches[i % 4], fused=not args.unfused)
     sync(trainer.state)
     print("# compiled", file=sys.stderr)
 
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        trainer.train_iteration(i + 16, *batches[i % 4])
+        trainer.train_iteration(32 + i, *batches[i % 4], fused=not args.unfused)
         sync(trainer.state)
         times.append(time.perf_counter() - t0)
-    # times[0] covers the R1+PPL iteration (i=16); others alternate rec/DS.
+    # times[0] covers the R1+PPL iteration (i=32); others alternate rec/DS.
     dt = float(np.median(times))
     imgs_per_sec = args.batch / dt
     print(

@@ -89,11 +89,15 @@ def main():
             render[: max(1, args.batch // 2)], key, True)),
     ):
         # NB: these donate the state; rebind it from the returned value.
-        t0 = time.perf_counter()
-        new_state, _ = fn()
-        _sync(new_state.params)
-        breakdown[name] = round(time.perf_counter() - t0, 4)
-        trainer.state = new_state
+        # First call compiles (train_iteration warms only the FUSED step) —
+        # time the second dispatch.
+        for timed in (False, True):
+            t0 = time.perf_counter()
+            new_state, _ = fn()
+            _sync(new_state.params)
+            if timed:
+                breakdown[name] = round(time.perf_counter() - t0, 4)
+            trainer.state = new_state
 
     os.makedirs(args.out_dir, exist_ok=True)
     with jax.profiler.trace(args.out_dir):
