@@ -220,14 +220,22 @@ class Trainer:
         return tuple(jnp.asarray(a) for a in arrays)
 
     def train_iteration(
-        self, iter_idx: int, g_input, r_input, g_ref, fused: bool = True
+        self, iter_idx: int, g_input, r_input, g_ref,
+        fused: Optional[bool] = None,
     ) -> Dict[str, Any]:
         """One full reference iteration (train_3_encoder.py:779-822):
         D step, lazy R1, G step, lazy PPL, EMA.
 
         fused=True runs the whole iteration as ONE jitted dispatch
         (steps.fused_iteration_step) — same update order, 2-4x fewer host
-        round-trips; False dispatches the four steps separately."""
+        round-trips; False dispatches the four steps separately.
+
+        Regularizer iterations (R1 and/or PPL) are always dispatched
+        unfused: one program holding D+R1+G+PPL exceeds v5e HBM at 256px
+        batch 32 (the R1 grad-of-grad and PPL double-backward peak-liveness
+        add on top of the G backward), and they are only 1 iteration in
+        min(d_reg_every, g_reg_every) — the dispatch saving lives in the
+        plain majority iterations."""
         cfg = self.config
         ds_flag = cfg.is_ds_iter(iter_idx)
         extreme = cfg.is_extreme_ds_iter(iter_idx)
@@ -258,6 +266,15 @@ class Trainer:
         else:
             idx = np.arange(path_bsz)
 
+        if fused is None:
+            # Auto: the one-dispatch D+G program's peak liveness exceeds v5e
+            # HBM (15.75G) around 32 img-equivalents @256px per chip; below
+            # that the dispatch saving is free.
+            per_chip = g_input.shape[0] // max(1, (
+                len(self.mesh.devices.flat) if self.mesh is not None else 1
+            ))
+            fused = per_chip * self.config.size ** 2 <= 16 * 256 ** 2
+        fused = fused and not (do_r1 or will_g_reg)
         if fused:
             self.state, m = self.steps["fused_iteration_step"](
                 self.state,

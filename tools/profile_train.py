@@ -69,7 +69,7 @@ def main():
 
     # Compile outside the trace (iter 0 hits rec+R1+PPL; iter 1 hits DS).
     for i in range(2):
-        trainer.train_iteration(i, photo, render, photo)
+        trainer.train_iteration(i, photo, render, photo, fused=False)
     _sync(trainer.state.params)
     print("# compiled; tracing", file=sys.stderr)
 
@@ -102,7 +102,7 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     with jax.profiler.trace(args.out_dir):
         for i in range(args.iters):
-            trainer.train_iteration(16 + i, photo, render, photo)
+            trainer.train_iteration(16 + i, photo, render, photo, fused=False)
         _sync(trainer.state.params)
 
     print(json.dumps({"step_seconds": breakdown, "trace_dir": args.out_dir}))
