@@ -106,14 +106,18 @@ class QuantEvalHook:
             lambda vars_, x: t.arcface_module.apply(vars_, x)
         )
 
+        # ArcFace's fc5 flatten fixes its input resolution at init time:
+        # size//2 (the reference's grayscale+pool convention — 128² from
+        # 256² images; smaller in smoke stacks).  Resize eval images that
+        # arrive at any other resolution.
+        arc_res = t.config.size // 2
+
         def fn(x):
-            # ArcFace's fc5 flatten fixes the input at 128² (the reference's
-            # grayscale+pool convention from 256² images); resize when eval
-            # images are a different resolution.
             x = jnp.asarray(x)
-            if x.shape[1] != 128 or x.shape[2] != 128:
+            if x.shape[1] != arc_res or x.shape[2] != arc_res:
                 x = jax.image.resize(
-                    x, (x.shape[0], 128, 128, x.shape[3]), method="bilinear"
+                    x, (x.shape[0], arc_res, arc_res, x.shape[3]),
+                    method="bilinear",
                 )
             return apply(t.frozen["arcface"], x)
 

@@ -147,7 +147,13 @@ class Trainer:
                     k_lpips, dummy, dummy
                 )
         if use_arcface and "arcface" not in self.frozen:
-            dummy = jnp.zeros((1, 128, 128, 1), jnp.float32)
+            # ArcFace consumes the generated image after gray+2x-pool
+            # (training_util.py:178-201): size//2 per side — 128 at the
+            # production 256px; smaller in smoke configs (fc5 is the only
+            # input-size-dependent parameter).
+            dummy = jnp.zeros(
+                (1, config.size // 2, config.size // 2, 1), jnp.float32
+            )
             if fast_init:
                 shapes = jax.eval_shape(self.arcface_module.init, k_arc, dummy)
                 rnga = np.random.RandomState(seed + 3)

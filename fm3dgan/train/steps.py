@@ -124,8 +124,16 @@ def make_step_fns(
         fake = jax.lax.stop_gradient(fake)
 
         def loss_fn(d_params):
-            out_pred = d_module.apply({"params": d_params}, fake)
-            ref_pred = d_module.apply({"params": d_params}, ref)
+            # One vmapped D pass over the stacked (fake, ref) pair instead of
+            # two B-batch calls: conv batching rules merge the mapped axis
+            # into the batch (2B-wide MXU kernels, half the kernel count)
+            # while minibatch-stddev still sees each half separately —
+            # exactly the reference's two-call semantics
+            # (train_3_encoder.py:454-458).
+            pred = jax.vmap(
+                lambda xb: d_module.apply({"params": d_params}, xb)
+            )(jnp.stack([fake, ref]))
+            out_pred, ref_pred = pred[0], pred[1]
             loss = d_logistic_loss(ref_pred, out_pred)
             return loss, (jnp.mean(ref_pred), jnp.mean(out_pred))
 
@@ -239,6 +247,15 @@ def make_step_fns(
                 # Extreme-DS compares identity against the input photo
                 # (train_3_encoder.py:521).
                 id_ref = photo if extreme_ds_flag else ref
+                if id_ref.shape[1] != fake.shape[1]:
+                    # Smoke geometries run the generator below the encoder
+                    # input size (production is 256/256, a no-op here):
+                    # box-downsample so ArcFace sees one resolution.
+                    n_, hf, wf, c_ = fake.shape
+                    f_ = id_ref.shape[1] // hf
+                    id_ref = id_ref.reshape(
+                        n_, hf, f_, wf, f_, c_
+                    ).mean(axis=(2, 4))
                 face_id = config.face_id_loss_lambda * face_identity_loss(
                     fake,
                     id_ref,

@@ -171,3 +171,18 @@ def test_generator_custom_net_shape():
     p = params["params"]
     assert p["input"]["input"].shape == (1, 4, 4, 64)
     assert p["conv1"]["conv"]["weight"].shape == (3, 3, 64, 48)
+
+
+def test_discriminator_vmapped_pair_matches_separate_calls():
+    """The D-step batches D over the stacked (fake, ref) pair with vmap
+    (train/steps.py); minibatch-stddev must still see each half alone."""
+    d = Discriminator(size=SIZE)
+    rng = np.random.RandomState(11)
+    x1 = jnp.asarray(rng.randn(4, SIZE, SIZE, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(4, SIZE, SIZE, 3).astype(np.float32))
+    params = d.init(jax.random.PRNGKey(0), x1)
+
+    sep = [d.apply(params, x) for x in (x1, x2)]
+    vm = jax.vmap(lambda xb: d.apply(params, xb))(jnp.stack([x1, x2]))
+    np.testing.assert_allclose(np.asarray(vm[0]), np.asarray(sep[0]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vm[1]), np.asarray(sep[1]), rtol=2e-5, atol=2e-5)

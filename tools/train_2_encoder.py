@@ -56,6 +56,9 @@ def build_arg_parser():
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--resume_dir", type=str, default=None)
     p.add_argument("--resume_step", type=int, default=None)
+    p.add_argument("--log_every", type=int, default=10,
+                   help="flush metrics to host every N iters (1 = "
+                        "per-iteration, reference behavior)")
     p.add_argument("--mod_encode", default="Render Image",
                    choices=["Render Image", "Photo Image"])
     p.add_argument("--co_mod", default=None,
@@ -183,6 +186,7 @@ def main():
         f = x.shape[1] // cfg.size
         return x.reshape(x.shape[0], cfg.size, f, cfg.size, f, 3).mean((2, 4))
 
+    pending: list = []
     with open(log_path, "a") as logf:
         for i in range(start_iter, cfg.training_iters):
             t0 = time.time()
@@ -200,18 +204,30 @@ def main():
                 i, g_input, r_input, g_ref, ffhq_ref=ffhq_ref
             )
             dt = time.time() - t0
-            line = {
-                "iter": i, "time_s": round(dt, 3),
-                **{k: (float(v) if hasattr(v, "item") else v)
-                   for k, v in metrics.items()},
-            }
-            logf.write(json.dumps(line) + "\n")
-            logf.flush()
-            print(
-                f"[{i}] d={line.get('d', 0):.4f} g={line.get('g', 0):.4f} "
-                f"ppl={line.get('g_reg', 0):.4f} ({dt:.2f}s)"
-                + (" [DS]" if ds_flag else "")
-            )
+            # Deferred host read (see tools/train_3_encoder.py --log_every):
+            # float()-ing device scalars every step serializes a sync into
+            # every iteration.
+            pending.append((i, dt, ds_flag, metrics))
+            if (
+                len(pending) >= max(1, args.log_every)
+                or i == cfg.training_iters - 1
+                or (i % cfg.model_save_freq == 0 and i > 0)
+            ):
+                for j, jdt, jds, m in pending:
+                    line = {
+                        "iter": j, "time_s": round(jdt, 3),
+                        **{k: (float(v) if hasattr(v, "item") else v)
+                           for k, v in m.items()},
+                    }
+                    logf.write(json.dumps(line) + "\n")
+                    print(
+                        f"[{j}] d={line.get('d', 0):.4f} "
+                        f"g={line.get('g', 0):.4f} "
+                        f"ppl={line.get('g_reg', 0):.4f} ({jdt:.2f}s)"
+                        + (" [DS]" if jds else "")
+                    )
+                logf.flush()
+                pending.clear()
             if i % cfg.model_save_freq == 0 and i > 0:
                 trainer.save_checkpoint(ckpt_dir, i)
 

@@ -41,9 +41,12 @@ def run(dtype: str, args) -> dict:
         compute_dtype=dtype,
         lpips_loss_lambda=args.lpips_lambda,
         face_id_loss_lambda=args.face_id_lambda,
+        # Face-regional loss needs render and fake at the same resolution
+        # (true in the production 256px config; not in this size-64 smoke
+        # geometry) — excluded from the parity comparison.
         rec_face_reg_loss_lambda=0.0,
-        ds_face_reg_loss_lambda=20.0,
-        ep_face_reg_loss_lambda=100.0,
+        ds_face_reg_loss_lambda=0.0,
+        ep_face_reg_loss_lambda=0.0,
     )
     trainer = Trainer(
         cfg,
