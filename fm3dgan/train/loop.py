@@ -76,6 +76,7 @@ class Trainer:
         if use_fan is None:
             use_fan = config.hmap_loss_lambda > 0
         self.fan_input_size = fan_input_size
+        self.input_size = input_size or config.size
         if use_fan:
             from fm3dgan.models.fan_landmark import FAN
 
@@ -372,6 +373,7 @@ class Trainer:
             "use_tanh": self.config.use_tanh,
             "sliced_layer": self.config.w_plus_sliced_layer,
             "size": self.config.size,
+            "input_size": self.input_size,
         }
         with open(os.path.join(ckpt_dir, f"{step:06d}.json"), "w") as f:
             json.dump(meta, f)

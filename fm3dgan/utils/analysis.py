@@ -64,7 +64,10 @@ def build_manipulator_from_checkpoint(
             tuple(meta["sliced_layer"]) if meta["sliced_layer"] else None
         ),
     )
-    trainer = Trainer(cfg, use_lpips=False, use_arcface=False)
+    trainer = Trainer(
+        cfg, use_lpips=False, use_arcface=False,
+        input_size=meta.get("input_size"),
+    )
     trainer.load_checkpoint(ckpt_dir, step)
     state = trainer.state
     g_params = state.g_ema_params if use_ema else state.params["g"]

@@ -287,3 +287,48 @@ def test_trainer2_co_mod_full_iteration(co_mod, tmp_path):
         jax.tree.leaves(jax.tree.map(np.asarray, trainer2.state["params"])),
     ):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_edit_cli(tmp_path):
+    """tools/edit.py serves (photo, render) -> edited image from a Trainer
+    checkpoint (the Forward_Inference_3_Encoder production flow)."""
+    from PIL import Image
+
+    from fm3dgan.train import Trainer
+
+    trainer = Trainer(
+        _tiny_cfg(), seed=0, use_lpips=False, use_arcface=False,
+        input_size=128,
+    )
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(ckpt_dir)
+    trainer.save_checkpoint(ckpt_dir, 1)
+
+    rng = np.random.RandomState(0)
+    photo_p = str(tmp_path / "photo.png")
+    render_p = str(tmp_path / "render.png")
+    for pth in (photo_p, render_p):
+        Image.fromarray(
+            rng.randint(0, 255, (128, 128, 3), np.uint8)
+        ).save(pth)
+
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    env.setdefault("OMP_NUM_THREADS", "1")
+    out_dir = tmp_path / "edited"
+    proc = subprocess.run(
+        [
+            sys.executable, "tools/edit.py",
+            "--ckpt_dir", ckpt_dir, "--step", "1",
+            "--photo", photo_p, "--render", render_p,
+            "--out_dir", str(out_dir), "--grid",
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    out = out_dir / "photo__render.png"
+    assert out.exists()
+    img = np.asarray(Image.open(out))
+    assert img.shape == (8, 8, 3)  # generator size of the tiny config
+    assert (out_dir / "photo__render_grid.png").exists()
