@@ -81,6 +81,47 @@ def extract_features_from_samples(
     return np.concatenate(feats, axis=0)
 
 
+def make_sharded_feature_fn(
+    feature_apply: Callable[..., jax.Array],
+    mesh,
+    axis_name: str = "data",
+):
+    """Shard eval feature extraction over the device mesh.
+
+    TPU-native counterpart of the reference's pickle-based eval
+    ``all_gather`` (/root/reference/Miscellaneous/distributed.py:93-110):
+    the image batch is split over the mesh's ``axis_name``, each device runs
+    ``feature_apply(variables, local_images)``, and ``jax.lax.all_gather``
+    reassembles the full [N, F] feature matrix on every device — all inside
+    one jitted program, collectives riding ICI.
+
+    feature_apply: (variables, images [B_local, H, W, C]) -> [B_local, F],
+    e.g. a bound InceptionV3 pool3 head.  The global batch must divide the
+    mesh size.
+    """
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(),
+    )
+    def run(variables, images):
+        local = feature_apply(variables, images)
+        return jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
+
+    return run
+
+
 def get_model_fid_score(
     generator_fn: Callable[[jax.Array], jax.Array],
     inception_fn: Callable[[jax.Array], jax.Array],
@@ -89,10 +130,23 @@ def get_model_fid_score(
     latent_dim: int = 512,
     n_sample: int = 50_000,
     batch_size: int = 100,
+    mesh=None,
 ) -> float:
-    """Unconditional 50k-sample FID of a z->image generator (fid.py:76-130)."""
+    """Unconditional 50k-sample FID of a z->image generator (fid.py:76-130).
+
+    mesh: optional device mesh — the per-batch images are then sharded over
+    the mesh's 'data' axis for feature extraction (50k inception forwards are
+    the eval bottleneck) and gathered with jax.lax.all_gather.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if mesh is not None:
+        from fm3dgan.parallel.mesh import shard_batch
+
+        base_inception_fn = inception_fn
+        inception_fn = lambda img: base_inception_fn(
+            shard_batch(img, mesh)
+        )
     features = extract_features_from_samples(
         generator_fn, inception_fn, key, latent_dim, n_sample, batch_size
     )

@@ -26,9 +26,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def create_mesh(
     n_devices: Optional[int] = None, axis_name: str = "data"
 ) -> Mesh:
-    """1-D data-parallel mesh over the first n available devices."""
+    """1-D data-parallel mesh over the first n available devices.
+
+    Raises if fewer than ``n_devices`` are available — silently truncating
+    would let an "8-device" dryrun pass on one device, proving nothing.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"create_mesh({n_devices}) needs {n_devices} devices but the "
+                f"{jax.default_backend()!r} backend has only {len(devices)}"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -75,6 +75,19 @@ class TrainConfig:
     # Precision / parallelism (TPU-native knobs; no reference counterpart)
     compute_dtype: str = "float32"  # or "bfloat16"
     data_axis: str = "data"
+    # Rematerialization: recompute frozen-net (LPIPS/ArcFace/FAN) and
+    # regularizer (R1/PPL double-backward) forward activations in the
+    # backward pass instead of keeping them live — the frozen nets only need
+    # input gradients, so storing their internals is pure HBM waste.  This is
+    # what lets the one-dispatch fused iteration fit v5e HBM at bs32/256px
+    # (round 2 overflowed by 45MB without it).
+    remat_frozen: bool = True
+    remat_reg: bool = True
+    # Auto-fuse threshold: run the whole iteration as ONE jitted dispatch
+    # when per-chip img-equivalents (batch * (size/256)^2) <= this.
+    fuse_img_equiv_limit: int = 32
+    # Fuse regularizer (R1/PPL) iterations into the single dispatch too.
+    fuse_reg_iters: bool = True
 
     @property
     def g_reg_ratio(self) -> float:

@@ -226,6 +226,17 @@ class Trainer:
             return shard_batch(tuple(jnp.asarray(a) for a in arrays), self.mesh)
         return tuple(jnp.asarray(a) for a in arrays)
 
+    def stage_batch(self, *arrays):
+        """Issue the host->device transfer for an upcoming iteration NOW.
+
+        jax.device_put is asynchronous: calling this right after dispatching
+        step i with batch i+1 overlaps the ~25MB/iter input copy with device
+        compute instead of leaving it on the step's critical path.  Passing
+        the staged arrays back into train_iteration is free — _put on
+        already-placed arrays with the same sharding is a no-op.
+        """
+        return self._put(*arrays)
+
     def train_iteration(
         self, iter_idx: int, g_input, r_input, g_ref,
         fused: Optional[bool] = None,
@@ -237,12 +248,11 @@ class Trainer:
         (steps.fused_iteration_step) — same update order, 2-4x fewer host
         round-trips; False dispatches the four steps separately.
 
-        Regularizer iterations (R1 and/or PPL) are always dispatched
-        unfused: one program holding D+R1+G+PPL exceeds v5e HBM at 256px
-        batch 32 (the R1 grad-of-grad and PPL double-backward peak-liveness
-        add on top of the G backward), and they are only 1 iteration in
-        min(d_reg_every, g_reg_every) — the dispatch saving lives in the
-        plain majority iterations."""
+        With the default remat_frozen/remat_reg config the fused program —
+        including R1/PPL regularizer iterations (fuse_reg_iters) — fits v5e
+        HBM at bs32/256px; without remat the round-2 measurement overflowed
+        by 45MB above 16 img-equivalents, so the auto heuristic then caps at
+        16 and demotes regularizer iterations to separate dispatches."""
         cfg = self.config
         ds_flag = cfg.is_ds_iter(iter_idx)
         extreme = cfg.is_extreme_ds_iter(iter_idx)
@@ -274,14 +284,20 @@ class Trainer:
             idx = np.arange(path_bsz)
 
         if fused is None:
-            # Auto: the one-dispatch D+G program's peak liveness exceeds v5e
-            # HBM (15.75G) around 32 img-equivalents @256px per chip; below
-            # that the dispatch saving is free.
+            # Auto: one-dispatch iteration whenever the per-chip
+            # img-equivalents fit the configured HBM budget.  With
+            # remat_frozen/remat_reg (the default) the fused program fits
+            # v5e HBM at bs32/256px incl. the R1/PPL double-backwards;
+            # without remat, round 2 measured an overflow above 16.
             per_chip = g_input.shape[0] // max(1, (
                 len(self.mesh.devices.flat) if self.mesh is not None else 1
             ))
-            fused = per_chip * self.config.size ** 2 <= 16 * 256 ** 2
-        fused = fused and not (do_r1 or will_g_reg)
+            limit = self.config.fuse_img_equiv_limit
+            if not (self.config.remat_frozen and self.config.remat_reg):
+                limit = min(limit, 16)
+            fused = per_chip * self.config.size ** 2 <= limit * 256 ** 2
+        if not self.config.fuse_reg_iters or not self.config.remat_reg:
+            fused = fused and not (do_r1 or will_g_reg)
         if fused:
             self.state, m = self.steps["fused_iteration_step"](
                 self.state,

@@ -162,9 +162,13 @@ def make_step_fns(
         d_key = "d_edit" if use_edit else "d"
 
         def loss_fn(d_params):
-            r1 = d_r1_penalty(
-                lambda img: d_module.apply({"params": d_params}, img), ref
-            )
+            d_fn = lambda img: d_module.apply({"params": d_params}, img)
+            if config.remat_reg:
+                # The R1 grad-of-grad holds D's forward, backward AND
+                # double-backward live at once; remat of the forward keeps
+                # the peak at ~one backward's liveness.
+                d_fn = jax.checkpoint(d_fn)
+            r1 = d_r1_penalty(d_fn, ref)
             # weight r1/2 * d_reg_every (train_3_encoder.py:490); the
             # reference's `0*real_pred[0]` coupling term exists only to keep
             # torch graphs alive — unnecessary in JAX.
@@ -234,11 +238,20 @@ def make_step_fns(
             out_pred = d_module.apply({"params": state.params[d_key]}, fake)
             g_loss = g_nonsaturating_loss(out_pred)
 
+            # Frozen loss nets (LPIPS/ArcFace/FAN) are rematerialized: only
+            # their INPUT gradients are needed, so keeping VGG16/ResNetFace
+            # activations live through the whole G backward is pure HBM
+            # waste; recomputing them is what lets the fused bs32 iteration
+            # fit v5e HBM (ROUND_NOTES r2: overflowed by 45MB without it).
+            remat = jax.checkpoint if config.remat_frozen else (lambda f: f)
+
             lpips = jnp.zeros((), fake.dtype)
             if lpips_module is not None and lpips_l > 0:
-                lpips = lpips_l * jnp.mean(
-                    lpips_module.apply(frozen["lpips"], fake, ref)
-                )
+                lpips = lpips_l * remat(
+                    lambda a, b: jnp.mean(
+                        lpips_module.apply(frozen["lpips"], a, b)
+                    )
+                )(fake, ref)
             l1 = l1_l * l1_loss(fake, ref)
             face_id = jnp.zeros((), fake.dtype)
             if arcface_module is not None and config.face_id_loss_lambda > 0:
@@ -254,12 +267,14 @@ def make_step_fns(
                     id_ref = id_ref.reshape(
                         n_, hf, f_, wf, f_, c_
                     ).mean(axis=(2, 4))
-                face_id = config.face_id_loss_lambda * face_identity_loss(
-                    fake,
-                    id_ref,
-                    lambda x: arcface_module.apply(frozen["arcface"], x),
-                    config.face_id_loss_type,
-                )
+                face_id = config.face_id_loss_lambda * remat(
+                    lambda a, b: face_identity_loss(
+                        a,
+                        b,
+                        lambda x: arcface_module.apply(frozen["arcface"], x),
+                        config.face_id_loss_type,
+                    )
+                )(fake, id_ref)
             hmap = jnp.zeros((), fake.dtype)
             if apply_hmap and fan_module is not None and config.hmap_loss_lambda > 0:
                 from fm3dgan.losses.geometry import heat_map_loss
@@ -273,9 +288,9 @@ def make_step_fns(
                         ),
                     )
 
-                hmap = config.hmap_loss_lambda * heat_map_loss(
-                    fake, render, heatmap_fn
-                )
+                hmap = config.hmap_loss_lambda * remat(
+                    lambda a, b: heat_map_loss(a, b, heatmap_fn)
+                )(fake, render)
             if face_reg_l > 0:
                 face_reg = face_reg_l * face_regional_loss(render, fake)
             else:
@@ -338,6 +353,10 @@ def make_step_fns(
                     models, params, state.stats, lat, tensor, config, noise_key
                 )
 
+            if config.remat_reg:
+                # The PPL double-backward (vjp-of-vjp) otherwise keeps the
+                # full synthesis activations live twice.
+                g_fn = jax.checkpoint(g_fn)
             penalty, new_mean, path_lengths = path_regularize(
                 g_fn, latent, state.mean_path_length, ppl_key
             )

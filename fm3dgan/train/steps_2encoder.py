@@ -111,9 +111,10 @@ def make_2encoder_step_fns(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def d_reg_step(state, ref):
         def loss_fn(d_params):
-            r1 = d_r1_penalty(
-                lambda img: d_module.apply({"params": d_params}, img), ref
-            )
+            d_fn = lambda img: d_module.apply({"params": d_params}, img)
+            if config.remat_reg:
+                d_fn = jax.checkpoint(d_fn)
+            r1 = d_r1_penalty(d_fn, ref)
             return config.r1 / 2.0 * r1 * config.d_reg_every, r1
 
         (_, r1), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -151,18 +152,27 @@ def make_2encoder_step_fns(
             fake, new_stats = _fwd(p, state["stats"], photo, render, True, rng)
             out_pred = d_module.apply({"params": state["params"]["d"]}, fake)
             g_loss = g_nonsaturating_loss(out_pred)
+            # Frozen nets rematerialized (only input grads needed) — same
+            # HBM rationale as steps.py::_g_impl.
+            remat = jax.checkpoint if config.remat_frozen else (lambda f: f)
             lp = jnp.zeros((), fake.dtype)
             if lpips_module is not None and lpips_l > 0:
-                lp = lpips_l * jnp.mean(lpips_module.apply(frozen["lpips"], fake, ref))
+                lp = lpips_l * remat(
+                    lambda a, b: jnp.mean(
+                        lpips_module.apply(frozen["lpips"], a, b)
+                    )
+                )(fake, ref)
             l1 = l1_l * l1_loss(fake, ref)
             fid_loss = jnp.zeros((), fake.dtype)
             if arcface_module is not None and config.face_id_loss_lambda > 0:
                 id_ref = photo if extreme_ds_flag else ref
-                fid_loss = config.face_id_loss_lambda * face_identity_loss(
-                    fake, id_ref,
-                    lambda x: arcface_module.apply(frozen["arcface"], x),
-                    config.face_id_loss_type,
-                )
+                fid_loss = config.face_id_loss_lambda * remat(
+                    lambda a, b: face_identity_loss(
+                        a, b,
+                        lambda x: arcface_module.apply(frozen["arcface"], x),
+                        config.face_id_loss_type,
+                    )
+                )(fake, id_ref)
             freg = (
                 face_reg_l * face_regional_loss(render, fake)
                 if face_reg_l > 0
@@ -233,6 +243,8 @@ def make_2encoder_step_fns(
                     g_kwargs["external_input_tensor"] = tensor
                 return generator.apply(variables["g"], **g_kwargs)
 
+            if config.remat_reg:
+                g_fn = jax.checkpoint(g_fn)
             penalty, new_mean, pl = path_regularize(
                 g_fn, latent, state["mean_path_length"], ppl_key
             )
@@ -332,9 +344,10 @@ def make_2encoder_ffhq_ds_steps(
     @jax.jit
     def d_ffhq_reg_step(params, d_opt, ffhq_ref):
         def loss_fn(d_params):
-            r1 = d_r1_penalty(
-                lambda img: d_module.apply({"params": d_params}, img), ffhq_ref
-            )
+            d_fn = lambda img: d_module.apply({"params": d_params}, img)
+            if config.remat_reg:
+                d_fn = jax.checkpoint(d_fn)
+            r1 = d_r1_penalty(d_fn, ffhq_ref)
             return config.r1 / 2.0 * r1 * config.d_reg_every, r1
 
         (_, r1), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -358,12 +371,17 @@ def make_2encoder_ffhq_ds_steps(
             g_loss = g_nonsaturating_loss(out_pred)
             face_id = jnp.zeros((), fake.dtype)
             if arcface_module is not None and config.face_id_loss_lambda > 0:
-                face_id = config.face_id_loss_lambda * face_identity_loss(
-                    fake,
-                    g_ref,
-                    lambda x: arcface_module.apply(frozen["arcface"], x),
-                    config.face_id_loss_type,
+                remat = (
+                    jax.checkpoint if config.remat_frozen else (lambda f: f)
                 )
+                face_id = config.face_id_loss_lambda * remat(
+                    lambda a, b: face_identity_loss(
+                        a,
+                        b,
+                        lambda x: arcface_module.apply(frozen["arcface"], x),
+                        config.face_id_loss_type,
+                    )
+                )(fake, g_ref)
             total = g_loss + face_id
             return total, (g_loss, face_id, fake, new_stats)
 

@@ -7,7 +7,7 @@ plan's replacement for the reference's nonexistent distributed tests).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 # torch (used only as a test oracle) deadlocks XLA-CPU's threadpool on
 # single-core boxes unless OpenMP is pinned to one thread.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
@@ -17,6 +17,11 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough in this container: /root/.axon_site's
+# sitecustomize force-registers the axon TPU PJRT plugin at interpreter
+# start, which overrides JAX_PLATFORMS.  The config override below wins even
+# after that registration (verified), so "CPU" tests really run on CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Single-core CI box: persist compiled executables across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/fm3dgan_jax_cache")

@@ -1,0 +1,81 @@
+"""tools/make_dataset_layouts.py round-trip: the generated directory layouts
+must load through the dataset classes (the §2.11 data contract,
+/root/reference/dataset.py:19-160)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run(layout, out_dir, *extra):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "make_dataset_layouts.py"),
+            layout,
+            out_dir,
+            "--n_ids", "3",
+            "--size", "32",
+            "--source", "procedural",
+            *extra,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_synthetic_layout_roundtrip(tmp_path):
+    from fm3dgan.data.datasets import SyntheticPairDataset, default_transform
+
+    out = str(tmp_path / "syn")
+    _run("synthetic", out, "--n_var", "7")
+    ds = SyntheticPairDataset(out, transform=default_transform(32))
+    assert len(ds) == 21
+    assert ds.n_img_per_id == 7
+    g, r = ds[0]
+    assert g.shape == (32, 32, 3) and r.shape == (32, 32, 3)
+    # Render background convention: -1 outside the face region (what
+    # face_regional_loss masks on, training_util.py:236).
+    assert float(r.min()) == -1.0
+
+
+def test_ffhq_layout_roundtrip(tmp_path):
+    from fm3dgan.data.datasets import (
+        EditingDataset,
+        ReconstructionDataset,
+        default_transform,
+    )
+
+    out = str(tmp_path / "ffhq")
+    _run("ffhq", out, "--n_edits", "4")
+    rec = ReconstructionDataset(
+        os.path.join(out, "img"),
+        os.path.join(out, "render_img"),
+        transform=default_transform(32),
+    )
+    assert len(rec) == 3
+    photo, render = rec[1]
+    assert photo.shape == (32, 32, 3)
+    edit = EditingDataset(
+        os.path.join(out, "img"),
+        os.path.join(out, "edit_render_img"),
+        transform=default_transform(32),
+        render_image_folder=os.path.join(out, "render_img"),
+    )
+    assert len(edit) == 3
+
+
+def test_valnpy_layout(tmp_path):
+    out = str(tmp_path / "val")
+    _run("valnpy", out, "--n_edits", "4")
+    files = sorted(os.listdir(out))
+    assert len(files) == 3
+    bundle = np.load(os.path.join(out, files[0]))
+    assert bundle.shape == (6, 32, 32, 3)  # photo + own render + 4 edits
+    assert bundle.min() >= -1.0 and bundle.max() <= 1.0

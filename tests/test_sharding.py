@@ -16,18 +16,71 @@ import pytest
 
 @pytest.mark.slow
 def test_dryrun_multichip_8_devices():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-    env["OMP_NUM_THREADS"] = "1"
-    # Fresh compile-cache namespace is fine; the subprocess shares the cache.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    try:
+        from __graft_entry__ import scrubbed_cpu_env
+    finally:
+        sys.path.remove(repo)
+    # scrubbed_cpu_env strips the axon sitecustomize from PYTHONPATH and all
+    # PALLAS_/AXON_/TPU_/JAX_ vars — plain JAX_PLATFORMS=cpu is defeated by
+    # the TPU plugin registration and the subprocess lands on real hardware.
     proc = subprocess.run(
         [sys.executable, "__graft_entry__.py", "multichip", "8"],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env,
+        cwd=repo,
+        env=scrubbed_cpu_env(8),
         capture_output=True,
         text=True,
         timeout=3000,
     )
     assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
     assert "dryrun_multichip OK on 8 devices" in proc.stdout, proc.stdout
+    assert "dp-correctness OK" in proc.stdout, proc.stdout
+
+
+_SHARDED_EVAL_SCRIPT = """
+import jax, numpy as np
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/fm3dgan_jax_cache_dryrun")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8
+from fm3dgan.parallel import create_mesh
+from fm3dgan.eval.fid import make_sharded_feature_fn
+from fm3dgan.models.inception import InceptionV3Pool3
+
+mesh = create_mesh(8)
+model = InceptionV3Pool3(resize_input=False)
+rng = np.random.RandomState(0)
+x = rng.uniform(-1, 1, (16, 75, 75, 3)).astype("float32")
+variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+fn = make_sharded_feature_fn(lambda v, im: model.apply(v, im), mesh)
+feats = np.asarray(fn(variables, x))
+assert feats.shape == (16, 2048), feats.shape
+ref = np.asarray(jax.jit(model.apply)(variables, x))
+np.testing.assert_allclose(feats, ref, atol=1e-4, rtol=1e-4)
+print("sharded-eval OK", feats.shape)
+"""
+
+
+@pytest.mark.slow
+def test_sharded_eval_feature_extraction_8_devices():
+    """jax.lax.all_gather eval feature collection over the mesh — the
+    TPU-native replacement for the reference's pickle-based all_gather
+    (Miscellaneous/distributed.py:93-110), checked against the unsharded
+    InceptionV3 pool3 features."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    try:
+        from __graft_entry__ import scrubbed_cpu_env
+    finally:
+        sys.path.remove(repo)
+    proc = subprocess.run(
+        [sys.executable, "-c", _SHARDED_EVAL_SCRIPT],
+        cwd=repo,
+        env=scrubbed_cpu_env(8),
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+    assert "sharded-eval OK" in proc.stdout, proc.stdout

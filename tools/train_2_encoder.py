@@ -186,23 +186,41 @@ def main():
         f = x.shape[1] // cfg.size
         return x.reshape(x.shape[0], cfg.size, f, cfg.size, f, 3).mean((2, 4))
 
+    def _load_batch(i):
+        ds_flag = cfg.is_ds_iter(i)
+        ffhq_ref = None
+        if ds_flag and args.ds_dataset_type == "FFHQ":
+            g_input, r_input = next(ds)
+            g_ref = downref(g_input)
+            ffhq_ref = downref(next(ffhq)[0])
+        else:
+            g_input, r_input, g_ref = data_loading(rec, ds, ds_flag)
+            g_ref = downref(g_ref)
+        return g_input, r_input, g_ref, ffhq_ref
+
+    def _stage(batch):
+        # Double-buffered transfer (see tools/train_3_encoder.py): issue the
+        # device_put for batch i+1 right after dispatching step i.
+        g_input, r_input, g_ref, ffhq_ref = batch
+        staged = trainer._put(g_input, r_input, g_ref)
+        if ffhq_ref is not None:
+            staged = staged + trainer._put(ffhq_ref)
+        else:
+            staged = staged + (None,)
+        return staged
+
     pending: list = []
+    staged = _stage(_load_batch(start_iter))
     with open(log_path, "a") as logf:
         for i in range(start_iter, cfg.training_iters):
             t0 = time.time()
             ds_flag = cfg.is_ds_iter(i)
-            ffhq_ref = None
-            if ds_flag and args.ds_dataset_type == "FFHQ":
-                g_input, r_input = next(ds)
-                g_ref = downref(g_input)
-                ffhq_ref = downref(next(ffhq)[0])
-            else:
-                g_input, r_input, g_ref = data_loading(rec, ds, ds_flag)
-                g_ref = downref(g_ref)
-
+            g_input, r_input, g_ref, ffhq_ref = staged
             metrics = trainer.train_iteration(
                 i, g_input, r_input, g_ref, ffhq_ref=ffhq_ref
             )
+            if i + 1 < cfg.training_iters:
+                staged = _stage(_load_batch(i + 1))
             dt = time.time() - t0
             # Deferred host read (see tools/train_3_encoder.py --log_every):
             # float()-ing device scalars every step serializes a sync into

@@ -184,24 +184,36 @@ def main():
     # the current training batch.
     val_sets = _make_val_sets(args, cfg)
 
+    def _load_batch(i):
+        ds_flag = cfg.is_ds_iter(i)
+        ep_flag = cfg.is_extreme_ds_iter(i)
+        g_input, r_input, g_ref = data_loading(
+            rec, ds, ds_flag, extreme_loader=ep or ds,
+            extreme_ds_flag=ep_flag,
+        )
+        if g_ref.shape[1] != cfg.size:
+            # Smoke-test path (generator smaller than encoder input):
+            # box-downsample refs to the generated resolution.
+            f = g_ref.shape[1] // cfg.size
+            g_ref = g_ref.reshape(
+                g_ref.shape[0], cfg.size, f, cfg.size, f, 3
+            ).mean(axis=(2, 4))
+        return g_input, r_input, g_ref
+
     pending: list = []
+    # Double-buffered input transfer: batch i is already on device when step
+    # i dispatches; batch i+1's device_put is issued right after, overlapping
+    # the copy with step i's device compute.
+    staged = trainer.stage_batch(*_load_batch(start_iter))
     with open(log_path, "a") as logf:
         for i in range(start_iter, cfg.training_iters):
             t0 = time.time()
             ds_flag = cfg.is_ds_iter(i)
             ep_flag = cfg.is_extreme_ds_iter(i)
-            g_input, r_input, g_ref = data_loading(
-                rec, ds, ds_flag, extreme_loader=ep or ds,
-                extreme_ds_flag=ep_flag,
-            )
-            if g_ref.shape[1] != cfg.size:
-                # Smoke-test path (generator smaller than encoder input):
-                # box-downsample refs to the generated resolution.
-                f = g_ref.shape[1] // cfg.size
-                g_ref = g_ref.reshape(
-                    g_ref.shape[0], cfg.size, f, cfg.size, f, 3
-                ).mean(axis=(2, 4))
+            g_input, r_input, g_ref = staged
             metrics = trainer.train_iteration(i, g_input, r_input, g_ref)
+            if i + 1 < cfg.training_iters:
+                staged = trainer.stage_batch(*_load_batch(i + 1))
             dt = time.time() - t0
             # Defer the host read: metrics are device scalars; float()-ing
             # them here would sync every step.  time_s is dispatch wall (the
