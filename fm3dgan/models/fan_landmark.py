@@ -153,6 +153,28 @@ def heatmaps_to_landmarks(heatmaps: jax.Array) -> jax.Array:
     return jnp.stack([rx, ry], axis=-1)
 
 
+def landmarks_68_to_5(lm68):
+    """68-point iBUG landmarks [N, 68, 2] -> 5-point MTCNN-convention
+    landmarks [N, 5, 2]: left eye, right eye, nose tip, left mouth corner,
+    right mouth corner — the keypoint set (and write order) of the
+    reference's landmark extractor
+    (DiscoFaceGAN_related_scripts/landmark_extractor.py:27-30), which the
+    DiscoFaceGAN/Deep3DFace alignment preprocessing consumes.  Eyes are the
+    centroid of the 6-point eye contour; nose/mouth are single iBUG points
+    (30, 48, 54)."""
+    import numpy as np
+
+    lm68 = np.asarray(lm68)
+    left_eye = lm68[:, 36:42].mean(axis=1)
+    right_eye = lm68[:, 42:48].mean(axis=1)
+    nose = lm68[:, 30]
+    mouth_left = lm68[:, 48]
+    mouth_right = lm68[:, 54]
+    return np.stack(
+        [left_eye, right_eye, nose, mouth_left, mouth_right], axis=1
+    )
+
+
 def center_crop_for_fan(
     images: jax.Array,
     bbox: Optional[Tuple[float, float, float, float]] = None,

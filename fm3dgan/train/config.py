@@ -78,16 +78,37 @@ class TrainConfig:
     # Rematerialization: recompute frozen-net (LPIPS/ArcFace/FAN) and
     # regularizer (R1/PPL double-backward) forward activations in the
     # backward pass instead of keeping them live — the frozen nets only need
-    # input gradients, so storing their internals is pure HBM waste.  This is
-    # what lets the one-dispatch fused iteration fit v5e HBM at bs32/256px
-    # (round 2 overflowed by 45MB without it).
+    # input gradients, so storing their internals is pure HBM waste.  This
+    # is what lets the R1/PPL iterations join the one-dispatch fused
+    # iteration at bs16/256px (fuse_reg_iters).
     remat_frozen: bool = True
     remat_reg: bool = True
     # Auto-fuse threshold: run the whole iteration as ONE jitted dispatch
-    # when per-chip img-equivalents (batch * (size/256)^2) <= this.
-    fuse_img_equiv_limit: int = 32
-    # Fuse regularizer (R1/PPL) iterations into the single dispatch too.
+    # when per-chip img-equivalents (batch * (size/256)^2) <= this.  bs32
+    # fused does NOT fit v5e HBM (measured 65MB over even with remat; with
+    # remat_g_forward it compiles but OOMs at run time) — 16 is the v5e
+    # production setting.
+    fuse_img_equiv_limit: int = 16
+    # Fuse PPL regularizer iterations (every g_reg_every) into the single
+    # dispatch too.  R1 iterations (every d_reg_every) get their own flag —
+    # R1 fires only 1/16 iterations, so its dispatch saving is negligible.
     fuse_reg_iters: bool = True
+    fuse_r1_iters: bool = False
+    # Checkpoint the whole G+encoder forward in the G step (recompute it
+    # during the backward).  Costs ~one extra forward of the trunk; buys the
+    # HBM headroom for the one-dispatch fused iteration at large per-chip
+    # batch (the bs32/256px peak sits in the G backward, which frozen-net
+    # remat alone does not shrink).
+    remat_g_forward: bool = False
+    # Use the SAME noise RNG for the D-step and G-step generator forwards
+    # within an iteration.  The reference draws fresh noise for each
+    # (train_3_encoder.py:460,507 both call Forward_Inference_3_Encoder);
+    # with a shared key the two forwards are identical computations over the
+    # same (unchanged) G/encoder params, so XLA CSEs the ~whole second
+    # forward out of the fused one-dispatch program — a pure device-time
+    # saving.  Off by default for exact reference-cadence parity; training
+    # semantics with shared noise are otherwise standard GAN alternation.
+    share_dg_noise: bool = False
 
     @property
     def g_reg_ratio(self) -> float:

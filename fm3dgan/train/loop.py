@@ -249,10 +249,11 @@ class Trainer:
         round-trips; False dispatches the four steps separately.
 
         With the default remat_frozen/remat_reg config the fused program —
-        including R1/PPL regularizer iterations (fuse_reg_iters) — fits v5e
-        HBM at bs32/256px; without remat the round-2 measurement overflowed
-        by 45MB above 16 img-equivalents, so the auto heuristic then caps at
-        16 and demotes regularizer iterations to separate dispatches."""
+        including PPL regularizer iterations (fuse_reg_iters) — fits v5e
+        HBM at 16 img-equivalents per chip; bs32/256px measured ~65MB over
+        HBM even with remat, so the auto heuristic caps at
+        fuse_img_equiv_limit and falls back to separate dispatches above
+        it."""
         cfg = self.config
         ds_flag = cfg.is_ds_iter(iter_idx)
         extreme = cfg.is_extreme_ds_iter(iter_idx)
@@ -285,10 +286,9 @@ class Trainer:
 
         if fused is None:
             # Auto: one-dispatch iteration whenever the per-chip
-            # img-equivalents fit the configured HBM budget.  With
-            # remat_frozen/remat_reg (the default) the fused program fits
-            # v5e HBM at bs32/256px incl. the R1/PPL double-backwards;
-            # without remat, round 2 measured an overflow above 16.
+            # img-equivalents fit the configured HBM budget (16 on v5e —
+            # bs32/256px fused measured ~65MB over HBM even with
+            # remat_frozen/remat_reg; without remat the cap is also 16).
             per_chip = g_input.shape[0] // max(1, (
                 len(self.mesh.devices.flat) if self.mesh is not None else 1
             ))
@@ -298,15 +298,33 @@ class Trainer:
             fused = per_chip * self.config.size ** 2 <= limit * 256 ** 2
         if not self.config.fuse_reg_iters or not self.config.remat_reg:
             fused = fused and not (do_r1 or will_g_reg)
+        elif not self.config.fuse_r1_iters:
+            fused = fused and not do_r1
+        # Draw the iteration's 3 keys up-front so fused/unfused/shared-noise
+        # runs consume the identical RNG stream.
+        d_rng = self._next_key()
+        g_rng = self._next_key()
+        ppl_rng = self._next_key()
+        if self.config.share_dg_noise:
+            # Same generated batch for the D and G updates: the fused
+            # shared-forward step computes ONE generator forward and reuses
+            # it for both (jax.vjp pullback), removing the duplicated
+            # forward from the program.
+            g_rng = d_rng
         if fused:
-            self.state, m = self.steps["fused_iteration_step"](
+            step_name = (
+                "fused_shared_iteration_step"
+                if self.config.share_dg_noise
+                else "fused_iteration_step"
+            )
+            self.state, m = self.steps[step_name](
                 self.state,
                 photo,
                 render,
                 ref,
-                self._next_key(),
-                self._next_key(),
-                self._next_key(),
+                d_rng,
+                g_rng,
+                ppl_rng,
                 jnp.asarray(idx),
                 self.frozen,
                 use_edit,
@@ -325,7 +343,7 @@ class Trainer:
             metrics.update(m)
         else:
             self.state, d_m = self.steps["d_step"](
-                self.state, photo, render, ref, self._next_key(), use_edit
+                self.state, photo, render, ref, d_rng, use_edit
             )
             metrics.update(d_m)
 
@@ -335,8 +353,6 @@ class Trainer:
                 )
                 self._last_r1 = r1_m["r1"]
 
-            g_rng = self._next_key()
-            ppl_rng = self._next_key()
             # EMA is fused into the LAST G update of the iteration (one EMA
             # application per iteration, after all updates — the reference's
             # accumulate() placement, train_3_encoder.py:822).

@@ -231,10 +231,30 @@ def make_step_fns(
         def loss_fn(g_enc_params):
             params = dict(state.params)
             params.update(g_enc_params)
-            fake, new_stats = forward_full(
-                models, params, state.stats, photo, render, config,
-                noise_rng=rng, train=True,
-            )
+            if config.remat_g_forward:
+                # Two-segment activation checkpointing: backward recomputes
+                # the generate segment first (encoder activations dead),
+                # then the encode segment — peak ~max(segment) instead of
+                # sum.  A single checkpoint over the whole forward would
+                # save nothing: the backward still needs every recomputed
+                # intermediate live at once.
+                enc_fn = jax.checkpoint(
+                    lambda p, ph, r: _encode(
+                        models, p, state.stats, ph, r, config, train=True
+                    )
+                )
+                gen_fn = jax.checkpoint(
+                    lambda p, lat, tsr: _generate(
+                        models, p, state.stats, lat, tsr, config, rng
+                    )
+                )
+                tensor, latent, new_stats = enc_fn(params, photo, render)
+                fake = gen_fn(params, latent, tensor)
+            else:
+                fake, new_stats = forward_full(
+                    models, params, state.stats, photo, render, config,
+                    noise_rng=rng, train=True,
+                )
             out_pred = d_module.apply({"params": state.params[d_key]}, fake)
             g_loss = g_nonsaturating_loss(out_pred)
 
@@ -344,9 +364,19 @@ def make_step_fns(
         def loss_fn(g_enc_params):
             params = dict(state.params)
             params.update(g_enc_params)
-            tensor, latent, _ = _encode(
-                models, params, state.stats, photo, render, config, train=False
+            # train=True: the reference keeps the encoders in train() mode
+            # through the PPL forward (train_3_encoder.py:561-596), so BN
+            # normalizes with BATCH stats (gradients flow through them) and
+            # the running stats advance from this forward too.  Batch-stat
+            # normalization also makes the PPL value independent of how many
+            # forwards preceded it in the iteration (the shared-forward fused
+            # path advances running stats once instead of twice).
+            encode_fn = lambda p, ph, r: _encode(
+                models, p, state.stats, ph, r, config, train=True
             )
+            if config.remat_reg:
+                encode_fn = jax.checkpoint(encode_fn)
+            tensor, latent, new_stats = encode_fn(params, photo, render)
 
             def g_fn(lat):
                 return _generate(
@@ -363,18 +393,21 @@ def make_step_fns(
             weighted = (
                 config.path_reg_weight * config.g_reg_every * penalty
             )
-            return weighted, (penalty, new_mean, jnp.mean(path_lengths))
+            return weighted, (
+                penalty, new_mean, jnp.mean(path_lengths), new_stats
+            )
 
         g_enc_params = {k: state.params[k] for k in g_enc_keys}
-        (_, (penalty, new_mean, mean_pl)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(g_enc_params)
+        (_, (penalty, new_mean, mean_pl, new_stats)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(g_enc_params)
+        )
         updates, new_opt = g_enc_tx.update(grads, state.g_enc_opt, g_enc_params)
         new_g_enc = optax.apply_updates(g_enc_params, updates)
         new_params = dict(state.params)
         new_params.update(new_g_enc)
         replace_kwargs = dict(
-            params=new_params, g_enc_opt=new_opt, mean_path_length=new_mean
+            params=new_params, g_enc_opt=new_opt, mean_path_length=new_mean,
+            stats=new_stats,
         )
         if apply_ema:
             replace_kwargs["g_ema_params"] = _ema(
@@ -438,6 +471,192 @@ def make_step_fns(
             metrics.update(gr_m)
         return state, metrics
 
+    # ---------------- Fused shared-forward iteration -----------------------
+    # share_dg_noise fast path: ONE generator+encoder forward serves both the
+    # D update (stop-gradient'd fake) and the G update (downstream loss grad
+    # w.r.t. fake pulled back through jax.vjp).  Passing the same RNG to the
+    # separate D/G steps does NOT get CSE'd by XLA in practice — this
+    # restructuring removes the duplicated ~forward by construction.
+    # Semantics vs the reference: D and G see the same generated batch
+    # (the reference regenerates with fresh noise, train_3_encoder.py:460,507)
+    # and BN running stats advance once per iteration instead of twice —
+    # opt-in via config.share_dg_noise.
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "use_edit", "ds_flag", "extreme_ds_flag", "do_r1", "do_g_reg",
+            "apply_hmap",
+        ),
+        donate_argnums=(0,),
+    )
+    def fused_shared_iteration_step(
+        state: TrainState,
+        photo,
+        render,
+        ref,
+        d_rng,
+        g_rng,
+        ppl_rng,
+        ppl_idx,
+        frozen: Dict[str, Any],
+        use_edit: bool,
+        ds_flag: bool,
+        extreme_ds_flag: bool,
+        do_r1: bool,
+        do_g_reg: bool,
+        apply_hmap: bool = False,
+    ):
+        del g_rng  # the single forward uses d_rng for both updates
+        d_key = "d_edit" if use_edit else "d"
+        metrics: Dict[str, Any] = {}
+
+        g_enc_params = {k: state.params[k] for k in g_enc_keys}
+
+        def fwd(ge):
+            params = dict(state.params)
+            params.update(ge)
+            return forward_full(
+                models, params, state.stats, photo, render, config,
+                noise_rng=d_rng, train=True,
+            )
+
+        fake, pullback, new_stats = jax.vjp(fwd, g_enc_params, has_aux=True)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        # --- D update (same math as _d_impl, reusing fake) ---
+        def d_loss_fn(d_params):
+            out_pred = d_module.apply({"params": d_params}, fake_sg)
+            ref_pred = d_module.apply({"params": d_params}, ref)
+            loss = d_logistic_loss(ref_pred, out_pred)
+            return loss, (jnp.mean(ref_pred), jnp.mean(out_pred))
+
+        (d_loss, (ref_score, out_score)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.params[d_key])
+        opt_state = state.d_edit_opt if use_edit else state.d_opt
+        updates, new_d_opt = d_tx.update(d_grads, opt_state, state.params[d_key])
+        new_params = dict(state.params)
+        new_params[d_key] = optax.apply_updates(state.params[d_key], updates)
+        state = state.replace(
+            params=new_params,
+            stats=new_stats,
+            **(
+                {"d_edit_opt": new_d_opt}
+                if use_edit
+                else {"d_opt": new_d_opt}
+            ),
+        )
+        metrics.update(
+            {"d": d_loss, "ref_score": ref_score, "out_score": out_score}
+        )
+
+        if do_r1:
+            state, r1_m = _d_reg_impl(state, ref, use_edit)
+            metrics.update(r1_m)
+
+        # --- G update: downstream loss grad w.r.t. fake, pulled back ---
+        shrink = config.ep_lpips_l1_weight_shrink if extreme_ds_flag else 1.0
+        lpips_l = config.lpips_loss_lambda / shrink
+        l1_l = config.l1_loss_lambda / shrink
+        if not ds_flag:
+            face_reg_l = config.rec_face_reg_loss_lambda
+        elif not extreme_ds_flag:
+            face_reg_l = config.ds_face_reg_loss_lambda
+        else:
+            face_reg_l = config.ep_face_reg_loss_lambda
+
+        remat = jax.checkpoint if config.remat_frozen else (lambda f: f)
+
+        def downstream(fk):
+            out_pred = d_module.apply({"params": state.params[d_key]}, fk)
+            g_loss = g_nonsaturating_loss(out_pred)
+            lpips = jnp.zeros((), fk.dtype)
+            if lpips_module is not None and lpips_l > 0:
+                lpips = lpips_l * remat(
+                    lambda a, b: jnp.mean(
+                        lpips_module.apply(frozen["lpips"], a, b)
+                    )
+                )(fk, ref)
+            l1 = l1_l * l1_loss(fk, ref)
+            face_id = jnp.zeros((), fk.dtype)
+            if arcface_module is not None and config.face_id_loss_lambda > 0:
+                id_ref = photo if extreme_ds_flag else ref
+                if id_ref.shape[1] != fk.shape[1]:
+                    n_, hf, wf, c_ = fk.shape
+                    f_ = id_ref.shape[1] // hf
+                    id_ref = id_ref.reshape(
+                        n_, hf, f_, wf, f_, c_
+                    ).mean(axis=(2, 4))
+                face_id = config.face_id_loss_lambda * remat(
+                    lambda a, b: face_identity_loss(
+                        a, b,
+                        lambda x: arcface_module.apply(frozen["arcface"], x),
+                        config.face_id_loss_type,
+                    )
+                )(fk, id_ref)
+            hmap = jnp.zeros((), fk.dtype)
+            if (
+                apply_hmap
+                and fan_module is not None
+                and config.hmap_loss_lambda > 0
+            ):
+                from fm3dgan.losses.geometry import heat_map_loss
+                from fm3dgan.models.fan_landmark import center_crop_for_fan
+
+                def heatmap_fn(images):
+                    return fan_module.apply(
+                        frozen["fan"],
+                        center_crop_for_fan(
+                            images, target_size=fan_input_size
+                        ),
+                    )
+
+                hmap = config.hmap_loss_lambda * remat(
+                    lambda a, b: heat_map_loss(a, b, heatmap_fn)
+                )(fk, render)
+            if face_reg_l > 0:
+                face_reg = face_reg_l * face_regional_loss(render, fk)
+            else:
+                face_reg = jnp.zeros((), fk.dtype)
+            total = g_loss + lpips + l1 + face_id + hmap + face_reg
+            return total, {
+                "g": g_loss,
+                "lpips": lpips,
+                "l1": l1,
+                "face_id": face_id,
+                "hmap": hmap,
+                "face_reg": face_reg,
+            }
+
+        (_, g_metrics), grad_fake = jax.value_and_grad(
+            downstream, has_aux=True
+        )(fake)
+        (g_grads,) = pullback(grad_fake)
+        metrics.update(g_metrics)
+
+        updates, new_g_opt = g_enc_tx.update(
+            g_grads, state.g_enc_opt, g_enc_params
+        )
+        new_g_enc = optax.apply_updates(g_enc_params, updates)
+        new_params = dict(state.params)
+        new_params.update(new_g_enc)
+        replace_kwargs = dict(
+            params=new_params, g_enc_opt=new_g_opt, step=state.step + 1
+        )
+        if not do_g_reg:
+            replace_kwargs["g_ema_params"] = _ema(
+                state.g_ema_params, new_params["g"]
+            )
+        state = state.replace(**replace_kwargs)
+
+        if do_g_reg:
+            p_sub = jnp.take(photo, ppl_idx, axis=0)
+            r_sub = jnp.take(render, ppl_idx, axis=0)
+            state, gr_m = _g_reg_impl(state, p_sub, r_sub, ppl_rng, True)
+            metrics.update(gr_m)
+        return state, metrics
+
     # ---------------- EMA (:195-200, 776) ---------------------------------
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -457,4 +676,5 @@ def make_step_fns(
         "g_reg_step": g_reg_step,
         "ema_step": ema_step,
         "fused_iteration_step": fused_iteration_step,
+        "fused_shared_iteration_step": fused_shared_iteration_step,
     }

@@ -217,9 +217,11 @@ def make_2encoder_step_fns(
             # Encode without the generator, then PPL against the latent —
             # all co-modulation modes route through the same latent space
             # (Forward_Inference with PPL_regularize, train.py:495-530 /
-            # network_util.py:232-282).
+            # network_util.py:232-282).  train=True: the reference keeps the
+            # encoders in train() mode through the PPL forward, so BN uses
+            # batch stats and the running stats advance here too.
             variables = {k: _vars(p, state["stats"], k) for k in enc_keys}
-            latent, tensor, _ = encode_2_encoder(
+            latent, tensor, upd = encode_2_encoder(
                 tensor_encoder,
                 modulation_encoder,
                 generator,
@@ -229,8 +231,13 @@ def make_2encoder_step_fns(
                 mod_encode=mod_encode,
                 co_modulation=co_modulation,
                 sliced_layer=config.w_plus_sliced_layer,
-                train=False,
+                train=True,
             )
+            new_stats = dict(state["stats"])
+            for k, v in upd.items():
+                merged = dict(state["stats"].get(k, {}))
+                merged.update(v)
+                new_stats[k] = merged
 
             def g_fn(lat):
                 g_kwargs = dict(
@@ -249,12 +256,12 @@ def make_2encoder_step_fns(
                 g_fn, latent, state["mean_path_length"], ppl_key
             )
             weighted = config.path_reg_weight * config.g_reg_every * penalty
-            return weighted, (penalty, new_mean, jnp.mean(pl))
+            return weighted, (penalty, new_mean, jnp.mean(pl), new_stats)
 
         enc_params = {k: state["params"][k] for k in enc_keys}
-        (_, (penalty, new_mean, mean_pl)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(enc_params)
+        (_, (penalty, new_mean, mean_pl, new_stats)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(enc_params)
+        )
         updates, new_opt = g_tx.update(grads, state["g_opt"], enc_params)
         new_enc = optax.apply_updates(enc_params, updates)
         state = dict(state)
@@ -262,6 +269,7 @@ def make_2encoder_step_fns(
         state["params"].update(new_enc)
         state["g_opt"] = new_opt
         state["mean_path_length"] = new_mean
+        state["stats"] = new_stats
         if apply_ema:
             d = config.ema_decay
             state["g_ema"] = jax.tree.map(

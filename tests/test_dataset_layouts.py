@@ -12,6 +12,11 @@ import pytest
 
 def _run(layout, out_dir, *extra):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    try:
+        from __graft_entry__ import scrubbed_cpu_env
+    finally:
+        sys.path.remove(repo)
     proc = subprocess.run(
         [
             sys.executable,
@@ -23,6 +28,9 @@ def _run(layout, out_dir, *extra):
             "--source", "procedural",
             *extra,
         ],
+        # truly-CPU env: the axon sitecustomize otherwise routes the
+        # subprocess onto the real TPU tunnel
+        env=scrubbed_cpu_env(1),
         capture_output=True,
         text=True,
         timeout=300,

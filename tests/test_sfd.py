@@ -212,3 +212,89 @@ def test_heatmap_landmark_fn_off_center_face():
     cx, cy = 200.0, 80.0 - 0.12 * 80.0
     assert abs(landmarks[0, 0, 0] - cx) < 8, landmarks[0, 0]
     assert abs(landmarks[0, 0, 1] - cy) < 8, landmarks[0, 0]
+
+
+def test_landmarks_68_to_5_mapping():
+    """iBUG-68 -> MTCNN 5-point reduction: eye centroids, nose tip 30,
+    mouth corners 48/54, in the reference extractor's write order
+    (landmark_extractor.py:27-30)."""
+    from fm3dgan.models.fan_landmark import landmarks_68_to_5
+
+    lm = np.zeros((1, 68, 2), np.float32)
+    lm[0, 36:42] = [10.0, 20.0]   # left-eye contour
+    lm[0, 42:48] = [30.0, 20.0]   # right-eye contour
+    lm[0, 30] = [20.0, 30.0]      # nose tip
+    lm[0, 48] = [12.0, 40.0]      # left mouth corner
+    lm[0, 54] = [28.0, 40.0]      # right mouth corner
+    out = landmarks_68_to_5(lm)
+    assert out.shape == (1, 5, 2)
+    np.testing.assert_allclose(
+        out[0],
+        [[10, 20], [30, 20], [20, 30], [12, 40], [28, 40]],
+        atol=1e-5,
+    )
+
+
+def test_extract_landmarks_cli_contract(tmp_path, monkeypatch):
+    """tools/extract_landmarks.py writes one <name>.txt per image with 5
+    'x y' lines scaled back to the original frame (the reference's
+    Write_Detection_Result contract, landmark_extractor.py:18-45) — stack
+    stubbed with a full-image-fallback detector and a delta-peak FAN."""
+    import importlib.util
+    import os
+    import sys
+
+    from PIL import Image
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "extract_landmarks", os.path.join(repo, "tools/extract_landmarks.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    img_dir = tmp_path / "imgs"
+    out_dir = tmp_path / "lms"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    # Two sizes: one native 256, one 512 to exercise the resize + rescale.
+    Image.fromarray(rng.randint(0, 255, (256, 256, 3), np.uint8)).save(
+        img_dir / "a.png"
+    )
+    Image.fromarray(rng.randint(0, 255, (512, 512, 3), np.uint8)).save(
+        img_dir / "b.png"
+    )
+
+    def fake_build_stack(args):
+        def detector_fn(x):
+            n = int(x.shape[0])
+            olist = _empty_olist(int(x.shape[1]))
+            return [np.broadcast_to(o, (n,) + o.shape).copy() for o in olist]
+
+        def fan_fn(crops):
+            n = int(crops.shape[0])
+            hm = np.zeros((n, 64, 64, 68), np.float32)
+            hm[:, 32, 32, :] = 1.0
+            return jnp.asarray(hm)
+
+        return detector_fn, fan_fn
+
+    monkeypatch.setattr(mod, "build_stack", fake_build_stack)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["extract_landmarks.py", "--img_dir", str(img_dir),
+         "--out_dir", str(out_dir), "--random_init", "--batch", "2"],
+    )
+    mod.main()
+
+    for name, orig in (("a", 256), ("b", 512)):
+        txt = out_dir / f"{name}.txt"
+        assert txt.exists()
+        lines = txt.read_text().strip().splitlines()
+        assert len(lines) == 5
+        pts = np.array([[float(v) for v in ln.split()] for ln in lines])
+        # Delta peak at the heatmap center of a full-image crop -> all 5
+        # points near the image center, in the ORIGINAL frame.
+        np.testing.assert_allclose(
+            pts, np.full((5, 2), orig / 2.0), atol=0.125 * orig
+        )

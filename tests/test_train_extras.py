@@ -12,6 +12,19 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _scrubbed_env():
+    """Truly-CPU env for subprocess CLIs: plain JAX_PLATFORMS=cpu is defeated
+    by the axon sitecustomize's TPU plugin registration, so subprocesses
+    would silently land on (and require) the real TPU tunnel."""
+    sys.path.insert(0, REPO)
+    try:
+        from __graft_entry__ import scrubbed_cpu_env
+    finally:
+        sys.path.remove(REPO)
+    return scrubbed_cpu_env(1)
+
+
+
 def _tiny_cfg(**kw):
     from fm3dgan.train import TrainConfig
 
@@ -134,9 +147,7 @@ def test_2encoder_ffhq_ds_steps():
 
 @pytest.mark.slow
 def test_train_cli_smoke(tmp_path):
-    env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
-    env.setdefault("OMP_NUM_THREADS", "1")
+    env = _scrubbed_env()
     proc = subprocess.run(
         [
             sys.executable,
@@ -313,9 +324,7 @@ def test_edit_cli(tmp_path):
             rng.randint(0, 255, (128, 128, 3), np.uint8)
         ).save(pth)
 
-    env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
-    env.setdefault("OMP_NUM_THREADS", "1")
+    env = _scrubbed_env()
     out_dir = tmp_path / "edited"
     proc = subprocess.run(
         [
@@ -332,3 +341,55 @@ def test_edit_cli(tmp_path):
     img = np.asarray(Image.open(out))
     assert img.shape == (8, 8, 3)  # generator size of the tiny config
     assert (out_dir / "photo__render_grid.png").exists()
+
+
+def test_shared_forward_fused_matches_unfused():
+    """share_dg_noise fast path: the fused shared-forward step (ONE generator
+    forward reused for the D and G updates via jax.vjp pullback) must match
+    the unfused dispatch sequence with the same shared RNG — identical math,
+    only op ordering differs.  (face_reg/hmap stay off: the tiny config's
+    render resolution differs from the generator size, which those losses —
+    like the reference's — require to match.)"""
+    from fm3dgan.train import Trainer
+
+    rng = np.random.RandomState(11)
+    photo = rng.uniform(-1, 1, (4, 128, 128, 3)).astype(np.float32)
+    render = rng.uniform(-1, 1, (4, 128, 128, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+
+    def run(fused):
+        cfg = _tiny_cfg(
+            rec_batch=4, ds_batch=4, d_reg_every=1, g_reg_every=1,
+            share_dg_noise=True,
+            # fuse_r1_iters so the fused=True run really takes the fused
+            # path on this R1+PPL iteration (the default demotes it).
+            fuse_r1_iters=True,
+        )
+        t = Trainer(
+            cfg, seed=5, use_lpips=False, use_arcface=False, input_size=128
+        )
+        m = t.train_iteration(0, photo, render, ref, fused=fused)
+        return t, {
+            k: float(v)
+            for k, v in m.items()
+            if hasattr(v, "item") or isinstance(v, float)
+        }
+
+    t_fused, m_fused = run(True)
+    t_unfused, m_unfused = run(False)
+    for k in ("d", "g", "l1", "ref_score", "out_score"):
+        assert abs(m_fused[k] - m_unfused[k]) <= 1e-3 * max(
+            1.0, abs(m_unfused[k])
+        ), (k, m_fused[k], m_unfused[k])
+    for k in ("r1", "g_reg"):
+        assert abs(m_fused[k] - m_unfused[k]) <= 1e-2 * max(
+            1.0, abs(m_unfused[k])
+        ), (k, m_fused[k], m_unfused[k])
+    import jax
+    from jax.flatten_util import ravel_pytree
+
+    fa, _ = ravel_pytree(jax.device_get(t_fused.state.params["g"]))
+    fb, _ = ravel_pytree(jax.device_get(t_unfused.state.params["g"]))
+    # Identical math up to fp op ordering; Adam sign flips on near-zero-grad
+    # coordinates bound the worst case at a few update magnitudes.
+    assert float(np.max(np.abs(fa - fb))) <= 5e-3

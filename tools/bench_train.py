@@ -45,6 +45,20 @@ def main():
     p.add_argument("--unfused", action="store_true",
                    help="dispatch D/R1/G/PPL as separate jit calls "
                         "(default: one fused dispatch per iteration)")
+    p.add_argument("--fuse_reg", type=int, default=None,
+                   help="override config.fuse_reg_iters (0/1)")
+    p.add_argument("--fuse_r1", type=int, default=None,
+                   help="override config.fuse_r1_iters (0/1)")
+    p.add_argument("--remat_g", type=int, default=None,
+                   help="override config.remat_g_forward (0/1)")
+    p.add_argument("--remat_frozen", type=int, default=None,
+                   help="override config.remat_frozen (0/1)")
+    p.add_argument("--remat_reg", type=int, default=None,
+                   help="override config.remat_reg (0/1)")
+    p.add_argument("--share_noise", type=int, default=None,
+                   help="override config.share_dg_noise (0/1)")
+    p.add_argument("--fuse_limit", type=int, default=None,
+                   help="override config.fuse_img_equiv_limit")
     args = p.parse_args()
 
     from fm3dgan.ops.upfirdn2d import set_backend
@@ -52,6 +66,21 @@ def main():
 
     set_backend(args.upfirdn_backend)
 
+    cfg_kwargs = {}
+    if args.fuse_reg is not None:
+        cfg_kwargs["fuse_reg_iters"] = bool(args.fuse_reg)
+    if args.fuse_r1 is not None:
+        cfg_kwargs["fuse_r1_iters"] = bool(args.fuse_r1)
+    if args.remat_g is not None:
+        cfg_kwargs["remat_g_forward"] = bool(args.remat_g)
+    if args.remat_frozen is not None:
+        cfg_kwargs["remat_frozen"] = bool(args.remat_frozen)
+    if args.remat_reg is not None:
+        cfg_kwargs["remat_reg"] = bool(args.remat_reg)
+    if args.share_noise is not None:
+        cfg_kwargs["share_dg_noise"] = bool(args.share_noise)
+    if args.fuse_limit is not None:
+        cfg_kwargs["fuse_img_equiv_limit"] = args.fuse_limit
     cfg = TrainConfig(
         size=args.size,
         rec_batch=args.batch,
@@ -59,6 +88,7 @@ def main():
         compute_dtype=args.dtype,
         lpips_loss_lambda=0.0 if args.no_frozen else 3.0,
         face_id_loss_lambda=0.0 if args.no_frozen else 30.0,
+        **cfg_kwargs,
     )
     t0 = time.time()
     trainer = Trainer(
