@@ -202,6 +202,102 @@ def make_step_fns(
             lambda e, p: d * e + (1.0 - d) * p, ema_params, g_params
         )
 
+    def _g_downstream_losses(
+        fake,
+        d_params,
+        photo,
+        render,
+        ref,
+        frozen: Dict[str, Any],
+        ds_flag: bool,
+        extreme_ds_flag: bool,
+        apply_hmap: bool,
+    ):
+        """GAN + reconstruction loss stack over a generated batch
+        (train_3_encoder.py:507-533 incl. the lambda schedule :517-526) —
+        shared by the G step and the fused shared-forward iteration."""
+        shrink = config.ep_lpips_l1_weight_shrink if extreme_ds_flag else 1.0
+        lpips_l = config.lpips_loss_lambda / shrink
+        l1_l = config.l1_loss_lambda / shrink
+        if not ds_flag:
+            face_reg_l = config.rec_face_reg_loss_lambda
+        elif not extreme_ds_flag:
+            face_reg_l = config.ds_face_reg_loss_lambda
+        else:
+            face_reg_l = config.ep_face_reg_loss_lambda
+
+        out_pred = d_module.apply({"params": d_params}, fake)
+        g_loss = g_nonsaturating_loss(out_pred)
+
+        # Frozen loss nets (LPIPS/ArcFace/FAN) are rematerialized: only
+        # their INPUT gradients are needed, so keeping VGG16/ResNetFace
+        # activations live through the whole G backward is pure HBM
+        # waste; recomputing them is what lets regularizer iterations join
+        # the fused dispatch within v5e HBM (ROUND_NOTES r2/r3).
+        remat = jax.checkpoint if config.remat_frozen else (lambda f: f)
+
+        lpips = jnp.zeros((), fake.dtype)
+        if lpips_module is not None and lpips_l > 0:
+            lpips = lpips_l * remat(
+                lambda a, b: jnp.mean(
+                    lpips_module.apply(frozen["lpips"], a, b)
+                )
+            )(fake, ref)
+        l1 = l1_l * l1_loss(fake, ref)
+        face_id = jnp.zeros((), fake.dtype)
+        if arcface_module is not None and config.face_id_loss_lambda > 0:
+            # Extreme-DS compares identity against the input photo
+            # (train_3_encoder.py:521).
+            id_ref = photo if extreme_ds_flag else ref
+            if id_ref.shape[1] != fake.shape[1]:
+                # Smoke geometries run the generator below the encoder
+                # input size (production is 256/256, a no-op here):
+                # box-downsample so ArcFace sees one resolution.
+                n_, hf, wf, c_ = fake.shape
+                f_ = id_ref.shape[1] // hf
+                id_ref = id_ref.reshape(
+                    n_, hf, f_, wf, f_, c_
+                ).mean(axis=(2, 4))
+            face_id = config.face_id_loss_lambda * remat(
+                lambda a, b: face_identity_loss(
+                    a,
+                    b,
+                    lambda x: arcface_module.apply(frozen["arcface"], x),
+                    config.face_id_loss_type,
+                )
+            )(fake, id_ref)
+        hmap = jnp.zeros((), fake.dtype)
+        if apply_hmap and fan_module is not None and config.hmap_loss_lambda > 0:
+            from fm3dgan.losses.geometry import heat_map_loss
+            from fm3dgan.models.fan_landmark import center_crop_for_fan
+
+            def heatmap_fn(images):
+                return fan_module.apply(
+                    frozen["fan"],
+                    center_crop_for_fan(
+                        images, target_size=fan_input_size
+                    ),
+                )
+
+            hmap = config.hmap_loss_lambda * remat(
+                lambda a, b: heat_map_loss(a, b, heatmap_fn)
+            )(fake, render)
+        if face_reg_l > 0:
+            face_reg = face_reg_l * face_regional_loss(render, fake)
+        else:
+            face_reg = jnp.zeros((), fake.dtype)
+
+        total = g_loss + lpips + l1 + face_id + hmap + face_reg
+        metrics = {
+            "g": g_loss,
+            "lpips": lpips,
+            "l1": l1,
+            "face_id": face_id,
+            "hmap": hmap,
+            "face_reg": face_reg,
+        }
+        return total, metrics
+
     def _g_impl(
         state: TrainState,
         photo,
@@ -216,17 +312,6 @@ def make_step_fns(
         apply_ema: bool = False,
     ):
         d_key = "d_edit" if use_edit else "d"
-
-        # Lambda schedule (train_3_encoder.py:517-526).
-        shrink = config.ep_lpips_l1_weight_shrink if extreme_ds_flag else 1.0
-        lpips_l = config.lpips_loss_lambda / shrink
-        l1_l = config.l1_loss_lambda / shrink
-        if not ds_flag:
-            face_reg_l = config.rec_face_reg_loss_lambda
-        elif not extreme_ds_flag:
-            face_reg_l = config.ds_face_reg_loss_lambda
-        else:
-            face_reg_l = config.ep_face_reg_loss_lambda
 
         def loss_fn(g_enc_params):
             params = dict(state.params)
@@ -255,76 +340,10 @@ def make_step_fns(
                     models, params, state.stats, photo, render, config,
                     noise_rng=rng, train=True,
                 )
-            out_pred = d_module.apply({"params": state.params[d_key]}, fake)
-            g_loss = g_nonsaturating_loss(out_pred)
-
-            # Frozen loss nets (LPIPS/ArcFace/FAN) are rematerialized: only
-            # their INPUT gradients are needed, so keeping VGG16/ResNetFace
-            # activations live through the whole G backward is pure HBM
-            # waste; recomputing them is what lets the fused bs32 iteration
-            # fit v5e HBM (ROUND_NOTES r2: overflowed by 45MB without it).
-            remat = jax.checkpoint if config.remat_frozen else (lambda f: f)
-
-            lpips = jnp.zeros((), fake.dtype)
-            if lpips_module is not None and lpips_l > 0:
-                lpips = lpips_l * remat(
-                    lambda a, b: jnp.mean(
-                        lpips_module.apply(frozen["lpips"], a, b)
-                    )
-                )(fake, ref)
-            l1 = l1_l * l1_loss(fake, ref)
-            face_id = jnp.zeros((), fake.dtype)
-            if arcface_module is not None and config.face_id_loss_lambda > 0:
-                # Extreme-DS compares identity against the input photo
-                # (train_3_encoder.py:521).
-                id_ref = photo if extreme_ds_flag else ref
-                if id_ref.shape[1] != fake.shape[1]:
-                    # Smoke geometries run the generator below the encoder
-                    # input size (production is 256/256, a no-op here):
-                    # box-downsample so ArcFace sees one resolution.
-                    n_, hf, wf, c_ = fake.shape
-                    f_ = id_ref.shape[1] // hf
-                    id_ref = id_ref.reshape(
-                        n_, hf, f_, wf, f_, c_
-                    ).mean(axis=(2, 4))
-                face_id = config.face_id_loss_lambda * remat(
-                    lambda a, b: face_identity_loss(
-                        a,
-                        b,
-                        lambda x: arcface_module.apply(frozen["arcface"], x),
-                        config.face_id_loss_type,
-                    )
-                )(fake, id_ref)
-            hmap = jnp.zeros((), fake.dtype)
-            if apply_hmap and fan_module is not None and config.hmap_loss_lambda > 0:
-                from fm3dgan.losses.geometry import heat_map_loss
-                from fm3dgan.models.fan_landmark import center_crop_for_fan
-
-                def heatmap_fn(images):
-                    return fan_module.apply(
-                        frozen["fan"],
-                        center_crop_for_fan(
-                            images, target_size=fan_input_size
-                        ),
-                    )
-
-                hmap = config.hmap_loss_lambda * remat(
-                    lambda a, b: heat_map_loss(a, b, heatmap_fn)
-                )(fake, render)
-            if face_reg_l > 0:
-                face_reg = face_reg_l * face_regional_loss(render, fake)
-            else:
-                face_reg = jnp.zeros((), fake.dtype)
-
-            total = g_loss + lpips + l1 + face_id + hmap + face_reg
-            metrics = {
-                "g": g_loss,
-                "lpips": lpips,
-                "l1": l1,
-                "face_id": face_id,
-                "hmap": hmap,
-                "face_reg": face_reg,
-            }
+            total, metrics = _g_downstream_losses(
+                fake, state.params[d_key], photo, render, ref, frozen,
+                ds_flag, extreme_ds_flag, apply_hmap,
+            )
             return total, (metrics, new_stats)
 
         g_enc_params = {k: state.params[k] for k in g_enc_keys}
@@ -556,78 +575,11 @@ def make_step_fns(
             metrics.update(r1_m)
 
         # --- G update: downstream loss grad w.r.t. fake, pulled back ---
-        shrink = config.ep_lpips_l1_weight_shrink if extreme_ds_flag else 1.0
-        lpips_l = config.lpips_loss_lambda / shrink
-        l1_l = config.l1_loss_lambda / shrink
-        if not ds_flag:
-            face_reg_l = config.rec_face_reg_loss_lambda
-        elif not extreme_ds_flag:
-            face_reg_l = config.ds_face_reg_loss_lambda
-        else:
-            face_reg_l = config.ep_face_reg_loss_lambda
-
-        remat = jax.checkpoint if config.remat_frozen else (lambda f: f)
-
         def downstream(fk):
-            out_pred = d_module.apply({"params": state.params[d_key]}, fk)
-            g_loss = g_nonsaturating_loss(out_pred)
-            lpips = jnp.zeros((), fk.dtype)
-            if lpips_module is not None and lpips_l > 0:
-                lpips = lpips_l * remat(
-                    lambda a, b: jnp.mean(
-                        lpips_module.apply(frozen["lpips"], a, b)
-                    )
-                )(fk, ref)
-            l1 = l1_l * l1_loss(fk, ref)
-            face_id = jnp.zeros((), fk.dtype)
-            if arcface_module is not None and config.face_id_loss_lambda > 0:
-                id_ref = photo if extreme_ds_flag else ref
-                if id_ref.shape[1] != fk.shape[1]:
-                    n_, hf, wf, c_ = fk.shape
-                    f_ = id_ref.shape[1] // hf
-                    id_ref = id_ref.reshape(
-                        n_, hf, f_, wf, f_, c_
-                    ).mean(axis=(2, 4))
-                face_id = config.face_id_loss_lambda * remat(
-                    lambda a, b: face_identity_loss(
-                        a, b,
-                        lambda x: arcface_module.apply(frozen["arcface"], x),
-                        config.face_id_loss_type,
-                    )
-                )(fk, id_ref)
-            hmap = jnp.zeros((), fk.dtype)
-            if (
-                apply_hmap
-                and fan_module is not None
-                and config.hmap_loss_lambda > 0
-            ):
-                from fm3dgan.losses.geometry import heat_map_loss
-                from fm3dgan.models.fan_landmark import center_crop_for_fan
-
-                def heatmap_fn(images):
-                    return fan_module.apply(
-                        frozen["fan"],
-                        center_crop_for_fan(
-                            images, target_size=fan_input_size
-                        ),
-                    )
-
-                hmap = config.hmap_loss_lambda * remat(
-                    lambda a, b: heat_map_loss(a, b, heatmap_fn)
-                )(fk, render)
-            if face_reg_l > 0:
-                face_reg = face_reg_l * face_regional_loss(render, fk)
-            else:
-                face_reg = jnp.zeros((), fk.dtype)
-            total = g_loss + lpips + l1 + face_id + hmap + face_reg
-            return total, {
-                "g": g_loss,
-                "lpips": lpips,
-                "l1": l1,
-                "face_id": face_id,
-                "hmap": hmap,
-                "face_reg": face_reg,
-            }
+            return _g_downstream_losses(
+                fk, state.params[d_key], photo, render, ref, frozen,
+                ds_flag, extreme_ds_flag, apply_hmap,
+            )
 
         (_, g_metrics), grad_fake = jax.value_and_grad(
             downstream, has_aux=True

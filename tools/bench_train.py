@@ -59,7 +59,17 @@ def main():
                    help="override config.share_dg_noise (0/1)")
     p.add_argument("--fuse_limit", type=int, default=None,
                    help="override config.fuse_img_equiv_limit")
+    p.add_argument("--rng_impl", default=None,
+                   choices=("threefry2x32", "rbg", "unsafe_rbg"),
+                   help="JAX PRNG implementation: threefry is ALU-heavy on "
+                        "TPU and the generator draws per-layer noise every "
+                        "forward; unsafe_rbg trades stream quality for "
+                        "near-free on-device bits")
     args = p.parse_args()
+
+    if args.rng_impl:
+        import jax
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
 
     from fm3dgan.ops.upfirdn2d import set_backend
     from fm3dgan.train import TrainConfig, Trainer

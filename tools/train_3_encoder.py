@@ -47,6 +47,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
             p.add_argument(flag, type=str, default=f.default)
     p.add_argument("--exp_dir", type=str, default="./Exp")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rng_impl", type=str, default=None,
+                   choices=("threefry2x32", "rbg", "unsafe_rbg"),
+                   help="JAX PRNG implementation; threefry (default) is "
+                        "ALU-heavy on TPU and the generator draws per-layer "
+                        "noise every forward — unsafe_rbg is near-free")
     p.add_argument("--input_size", type=int, default=None,
                    help="encoder input resolution (default: --size)")
     p.add_argument("--fan_input_size", type=int, default=256,
@@ -139,6 +144,9 @@ def make_loaders(args, cfg: TrainConfig):
 
 def main():
     args = build_arg_parser().parse_args()
+    if args.rng_impl:
+        import jax
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
     cfg_kwargs = {
         f.name: getattr(args, f.name) for f in dataclasses.fields(TrainConfig)
     }
