@@ -99,8 +99,6 @@ def make_sharded_feature_fn(
     e.g. a bound InceptionV3 pool3 head.  The global batch must divide the
     mesh size.
     """
-    import functools
-
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -108,18 +106,23 @@ def make_sharded_feature_fn(
     except AttributeError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    @jax.jit
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(axis_name)),
-        out_specs=P(),
-    )
     def run(variables, images):
         local = feature_apply(variables, images)
         return jax.lax.all_gather(local, axis_name, axis=0, tiled=True)
 
-    return run
+    # The tiled all_gather leaves every device holding the identical [N, F]
+    # matrix, but jax's varying-manual-axes checker cannot statically prove
+    # all_gather output replication (jax 0.9: "could not infer replication
+    # over any axes"), so the replication check must be disabled for the
+    # P() out_spec; older jax spells the flag check_rep.
+    kwargs = dict(
+        mesh=mesh, in_specs=(P(), P(axis_name)), out_specs=P()
+    )
+    try:
+        wrapped = shard_map(run, check_vma=False, **kwargs)
+    except TypeError:  # pre-vma jax
+        wrapped = shard_map(run, check_rep=False, **kwargs)
+    return jax.jit(wrapped)
 
 
 def get_model_fid_score(
