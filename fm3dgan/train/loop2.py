@@ -226,37 +226,83 @@ class Trainer2:
             # Generated batch replaces g_input downstream (train.py:723-730).
             g_input = fake
 
-        self.state, m = self.steps["d_step"](
-            self.state, g_input, r_input, g_ref, self._next_key()
-        )
-        metrics.update(m)
-
-        if iter_idx % cfg.d_reg_every == 0:
-            self.state, r1_m = self.steps["d_reg_step"](self.state, g_ref)
-            self._last_r1 = r1_m["r1"]
-        metrics["r1"] = self._last_r1
-
+        do_r1 = iter_idx % cfg.d_reg_every == 0
         will_g_reg = cfg.use_g_reg and iter_idx % cfg.g_reg_every == 0
-        self.state, m = self.steps["g_step"](
-            self.state, g_input, r_input, g_ref, self._next_key(),
-            self.frozen, ds_flag, False, not will_g_reg,
-        )
-        metrics.update(m)
 
+        bsz = g_input.shape[0]
+        path_bsz = max(1, bsz // cfg.path_reg_batch_shrink)
         if will_g_reg:
-            bsz = g_input.shape[0]
-            path_bsz = max(1, bsz // cfg.path_reg_batch_shrink)
             idx = np.sort(
                 self._host_rng.choice(bsz, size=path_bsz, replace=False)
             )
-            p_sub = jnp.take(g_input, jnp.asarray(idx), axis=0)
-            r_sub = jnp.take(r_input, jnp.asarray(idx), axis=0)
-            if self.mesh is not None:
-                p_sub, r_sub = self._put(p_sub, r_sub)
-            self.state, gr_m = self.steps["g_reg_step"](
-                self.state, p_sub, r_sub, self._next_key(), True
+        else:
+            idx = np.arange(path_bsz)
+
+        # Keys drawn up-front so fused/unfused runs consume the identical
+        # RNG stream (≙ loop.py).
+        d_rng = self._next_key()
+        g_rng = self._next_key()
+        ppl_rng = self._next_key()
+        if cfg.share_dg_noise:
+            g_rng = d_rng
+
+        # One-dispatch shared-forward iteration (steps_2encoder.py::
+        # fused_shared_iteration_step): Trainer2 fuses only via
+        # share_dg_noise — without sharing, separate dispatches cost the
+        # same compute.  Same auto-fuse HBM heuristic as loop.py.
+        fused = False
+        if cfg.share_dg_noise:
+            per_chip = bsz // max(1, (
+                len(self.mesh.devices.flat) if self.mesh is not None else 1
+            ))
+            limit = cfg.fuse_img_equiv_limit
+            if not (cfg.remat_frozen and cfg.remat_reg):
+                limit = min(limit, 16)
+            fused = per_chip * cfg.size ** 2 <= limit * 256 ** 2
+            if not cfg.fuse_reg_iters or not cfg.remat_reg:
+                fused = fused and not (do_r1 or will_g_reg)
+            elif not cfg.fuse_r1_iters:
+                fused = fused and not do_r1
+
+        if fused:
+            self.state, m = self.steps["fused_shared_iteration_step"](
+                self.state, g_input, r_input, g_ref,
+                d_rng, ppl_rng, jnp.asarray(idx), self.frozen,
+                ds_flag, False, do_r1, will_g_reg,
             )
-            self._last_greg = gr_m
+            if do_r1:
+                self._last_r1 = m["r1"]
+            if will_g_reg:
+                self._last_greg = {
+                    "g_reg": m["g_reg"], "path_length": m["path_length"]
+                }
+            metrics.update(m)
+        else:
+            self.state, m = self.steps["d_step"](
+                self.state, g_input, r_input, g_ref, d_rng
+            )
+            metrics.update(m)
+
+            if do_r1:
+                self.state, r1_m = self.steps["d_reg_step"](self.state, g_ref)
+                self._last_r1 = r1_m["r1"]
+
+            self.state, m = self.steps["g_step"](
+                self.state, g_input, r_input, g_ref, g_rng,
+                self.frozen, ds_flag, False, not will_g_reg,
+            )
+            metrics.update(m)
+
+            if will_g_reg:
+                p_sub = jnp.take(g_input, jnp.asarray(idx), axis=0)
+                r_sub = jnp.take(r_input, jnp.asarray(idx), axis=0)
+                if self.mesh is not None:
+                    p_sub, r_sub = self._put(p_sub, r_sub)
+                self.state, gr_m = self.steps["g_reg_step"](
+                    self.state, p_sub, r_sub, ppl_rng, True
+                )
+                self._last_greg = gr_m
+        metrics["r1"] = self._last_r1
         metrics.update(self._last_greg)
         metrics["ds_flag"] = ds_flag
         return metrics

@@ -108,8 +108,7 @@ def make_2encoder_step_fns(
         state["d_opt"] = new_opt
         return state, {"d": loss, "ref_score": rs, "out_score": os_}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def d_reg_step(state, ref):
+    def _d_reg_impl(state, ref):
         def loss_fn(d_params):
             d_fn = lambda img: d_module.apply({"params": d_params}, img)
             if config.remat_reg:
@@ -127,15 +126,15 @@ def make_2encoder_step_fns(
         state["d_opt"] = new_opt
         return state, {"r1": r1}
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=("ds_flag", "extreme_ds_flag", "apply_ema"),
-        donate_argnums=(0,),
-    )
-    def g_step(
-        state, photo, render, ref, rng, frozen,
-        ds_flag: bool, extreme_ds_flag: bool, apply_ema: bool = True,
+    d_reg_step = functools.partial(jax.jit, donate_argnums=(0,))(_d_reg_impl)
+
+    def _g_losses(
+        fake, d_params, photo, render, ref, frozen,
+        ds_flag: bool, extreme_ds_flag: bool,
     ):
+        """GAN + reconstruction loss stack over a generated batch
+        (train.py:507-533 lambda schedule) — shared by the G step and the
+        fused shared-forward iteration."""
         shrink = config.ep_lpips_l1_weight_shrink if extreme_ds_flag else 1.0
         lpips_l = config.lpips_loss_lambda / shrink
         l1_l = config.l1_loss_lambda / shrink
@@ -146,43 +145,58 @@ def make_2encoder_step_fns(
         else:
             face_reg_l = config.ep_face_reg_loss_lambda
 
+        out_pred = d_module.apply({"params": d_params}, fake)
+        g_loss = g_nonsaturating_loss(out_pred)
+        # Frozen nets rematerialized (only input grads needed) — same
+        # HBM rationale as steps.py::_g_impl.
+        remat = jax.checkpoint if config.remat_frozen else (lambda f: f)
+        lp = jnp.zeros((), fake.dtype)
+        if lpips_module is not None and lpips_l > 0:
+            lp = lpips_l * remat(
+                lambda a, b: jnp.mean(
+                    lpips_module.apply(frozen["lpips"], a, b)
+                )
+            )(fake, ref)
+        l1 = l1_l * l1_loss(fake, ref)
+        fid_loss = jnp.zeros((), fake.dtype)
+        if arcface_module is not None and config.face_id_loss_lambda > 0:
+            id_ref = photo if extreme_ds_flag else ref
+            fid_loss = config.face_id_loss_lambda * remat(
+                lambda a, b: face_identity_loss(
+                    a, b,
+                    lambda x: arcface_module.apply(frozen["arcface"], x),
+                    config.face_id_loss_type,
+                )
+            )(fake, id_ref)
+        freg = (
+            face_reg_l * face_regional_loss(render, fake)
+            if face_reg_l > 0
+            else jnp.zeros((), fake.dtype)
+        )
+        total = g_loss + lp + l1 + fid_loss + freg
+        metrics = {
+            "g": g_loss, "lpips": lp, "l1": l1, "face_id": fid_loss,
+            "face_reg": freg,
+        }
+        return total, metrics
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("ds_flag", "extreme_ds_flag", "apply_ema"),
+        donate_argnums=(0,),
+    )
+    def g_step(
+        state, photo, render, ref, rng, frozen,
+        ds_flag: bool, extreme_ds_flag: bool, apply_ema: bool = True,
+    ):
         def loss_fn(enc_params):
             p = dict(state["params"])
             p.update(enc_params)
             fake, new_stats = _fwd(p, state["stats"], photo, render, True, rng)
-            out_pred = d_module.apply({"params": state["params"]["d"]}, fake)
-            g_loss = g_nonsaturating_loss(out_pred)
-            # Frozen nets rematerialized (only input grads needed) — same
-            # HBM rationale as steps.py::_g_impl.
-            remat = jax.checkpoint if config.remat_frozen else (lambda f: f)
-            lp = jnp.zeros((), fake.dtype)
-            if lpips_module is not None and lpips_l > 0:
-                lp = lpips_l * remat(
-                    lambda a, b: jnp.mean(
-                        lpips_module.apply(frozen["lpips"], a, b)
-                    )
-                )(fake, ref)
-            l1 = l1_l * l1_loss(fake, ref)
-            fid_loss = jnp.zeros((), fake.dtype)
-            if arcface_module is not None and config.face_id_loss_lambda > 0:
-                id_ref = photo if extreme_ds_flag else ref
-                fid_loss = config.face_id_loss_lambda * remat(
-                    lambda a, b: face_identity_loss(
-                        a, b,
-                        lambda x: arcface_module.apply(frozen["arcface"], x),
-                        config.face_id_loss_type,
-                    )
-                )(fake, id_ref)
-            freg = (
-                face_reg_l * face_regional_loss(render, fake)
-                if face_reg_l > 0
-                else jnp.zeros((), fake.dtype)
+            total, metrics = _g_losses(
+                fake, state["params"]["d"], photo, render, ref, frozen,
+                ds_flag, extreme_ds_flag,
             )
-            total = g_loss + lp + l1 + fid_loss + freg
-            metrics = {
-                "g": g_loss, "lpips": lp, "l1": l1, "face_id": fid_loss,
-                "face_reg": freg,
-            }
             return total, (metrics, new_stats)
 
         enc_params = {k: state["params"][k] for k in enc_keys}
@@ -205,10 +219,7 @@ def make_2encoder_step_fns(
             )
         return state, metrics
 
-    @functools.partial(
-        jax.jit, static_argnames=("apply_ema",), donate_argnums=(0,)
-    )
-    def g_reg_step(state, photo, render, rng, apply_ema: bool = True):
+    def _g_reg_impl(state, photo, render, rng, apply_ema: bool = True):
         noise_key, ppl_key = jax.random.split(rng)
 
         def loss_fn(enc_params):
@@ -279,11 +290,117 @@ def make_2encoder_step_fns(
             )
         return state, {"g_reg": penalty, "path_length": mean_pl}
 
+    g_reg_step = functools.partial(
+        jax.jit, static_argnames=("apply_ema",), donate_argnums=(0,)
+    )(_g_reg_impl)
+
+    # ---------------- Fused shared-forward iteration -----------------------
+    # share_dg_noise fast path (≙ steps.py::fused_shared_iteration_step for
+    # the 3-encoder driver): ONE encoder+generator forward serves both the D
+    # update (stop-gradient'd fake) and the G update (downstream loss grad
+    # pulled back through jax.vjp), and the whole iteration — optionally
+    # including the R1/PPL regularizers — is a single jitted dispatch.
+    # Semantics vs the reference train.py: D and G see the same generated
+    # batch (the reference regenerates with fresh noise, train.py:464,507)
+    # and BN running stats advance once per iteration instead of twice —
+    # opt-in via config.share_dg_noise.
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("ds_flag", "extreme_ds_flag", "do_r1", "do_g_reg"),
+        donate_argnums=(0,),
+    )
+    def fused_shared_iteration_step(
+        state,
+        photo,
+        render,
+        ref,
+        d_rng,
+        ppl_rng,
+        ppl_idx,
+        frozen,
+        ds_flag: bool,
+        extreme_ds_flag: bool,
+        do_r1: bool,
+        do_g_reg: bool,
+    ):
+        metrics: Dict[str, Any] = {}
+        enc_params = {k: state["params"][k] for k in enc_keys}
+
+        def fwd(ep):
+            p = dict(state["params"])
+            p.update(ep)
+            return _fwd(p, state["stats"], photo, render, True, d_rng)
+
+        fake, pullback, new_stats = jax.vjp(fwd, enc_params, has_aux=True)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        # --- D update (same math as d_step, reusing fake) ---
+        def d_loss_fn(d_params):
+            out_pred = d_module.apply({"params": d_params}, fake_sg)
+            ref_pred = d_module.apply({"params": d_params}, ref)
+            return d_logistic_loss(ref_pred, out_pred), (
+                jnp.mean(ref_pred),
+                jnp.mean(out_pred),
+            )
+
+        (d_loss, (rs, os_)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state["params"]["d"])
+        updates, new_d_opt = d_tx.update(
+            d_grads, state["d_opt"], state["params"]["d"]
+        )
+        state = dict(state)
+        state["params"] = dict(state["params"])
+        state["params"]["d"] = optax.apply_updates(
+            state["params"]["d"], updates
+        )
+        state["stats"] = new_stats
+        state["d_opt"] = new_d_opt
+        metrics.update({"d": d_loss, "ref_score": rs, "out_score": os_})
+
+        if do_r1:
+            state, r1_m = _d_reg_impl(state, ref)
+            metrics.update(r1_m)
+
+        # --- G update: downstream loss grad w.r.t. fake, pulled back ---
+        def downstream(fk):
+            return _g_losses(
+                fk, state["params"]["d"], photo, render, ref, frozen,
+                ds_flag, extreme_ds_flag,
+            )
+
+        (_, g_metrics), grad_fake = jax.value_and_grad(
+            downstream, has_aux=True
+        )(fake)
+        (g_grads,) = pullback(grad_fake)
+        metrics.update(g_metrics)
+
+        updates, new_g_opt = g_tx.update(g_grads, state["g_opt"], enc_params)
+        new_enc = optax.apply_updates(enc_params, updates)
+        state["params"].update(new_enc)
+        state["g_opt"] = new_g_opt
+        if not do_g_reg:
+            d = config.ema_decay
+            state["g_ema"] = jax.tree.map(
+                lambda e, p_: d * e + (1 - d) * p_,
+                state["g_ema"],
+                state["params"]["g"],
+            )
+
+        if do_g_reg:
+            p_sub = jnp.take(photo, ppl_idx, axis=0)
+            r_sub = jnp.take(render, ppl_idx, axis=0)
+            state, gr_m = _g_reg_impl(state, p_sub, r_sub, ppl_rng, True)
+            metrics.update(gr_m)
+        return state, metrics
+
     return {
         "d_step": d_step,
         "d_reg_step": d_reg_step,
         "g_step": g_step,
         "g_reg_step": g_reg_step,
+        "fused_shared_iteration_step": fused_shared_iteration_step,
     }
 
 

@@ -393,3 +393,50 @@ def test_shared_forward_fused_matches_unfused():
     # Identical math up to fp op ordering; Adam sign flips on near-zero-grad
     # coordinates bound the worst case at a few update magnitudes.
     assert float(np.max(np.abs(fa - fb))) <= 5e-3
+
+
+def test_trainer2_shared_forward_fused_matches_unfused():
+    """2-encoder share_dg_noise fast path (steps_2encoder.py::
+    fused_shared_iteration_step): the one-dispatch shared-forward iteration
+    must match the unfused dispatch sequence with the same shared RNG —
+    identical math, only op ordering differs (≙ the 3-encoder test above).
+    fuse_img_equiv_limit=0 forces the unfused fallback, which consumes the
+    identical key stream (keys are drawn up-front in the loop)."""
+    from fm3dgan.train.loop2 import Trainer2
+
+    rng = np.random.RandomState(7)
+    photo = rng.uniform(-1, 1, (4, 128, 128, 3)).astype(np.float32)
+    render = rng.uniform(-1, 1, (4, 128, 128, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+
+    def run(limit):
+        cfg = _tiny_cfg(
+            rec_batch=4, ds_batch=4, d_reg_every=1, g_reg_every=1,
+            share_dg_noise=True, fuse_r1_iters=True,
+            fuse_img_equiv_limit=limit,
+        )
+        t = Trainer2(
+            cfg, seed=3, use_lpips=False, use_arcface=False, input_size=128
+        )
+        m = t.train_iteration(0, photo, render, ref)
+        return t, {
+            k: float(v)
+            for k, v in m.items()
+            if hasattr(v, "item") or isinstance(v, float)
+        }
+
+    t_fused, m_fused = run(16)
+    t_unfused, m_unfused = run(0)
+    for k in ("d", "g", "l1", "ref_score", "out_score"):
+        assert abs(m_fused[k] - m_unfused[k]) <= 1e-3 * max(
+            1.0, abs(m_unfused[k])
+        ), (k, m_fused[k], m_unfused[k])
+    for k in ("r1", "g_reg"):
+        assert abs(m_fused[k] - m_unfused[k]) <= 1e-2 * max(
+            1.0, abs(m_unfused[k])
+        ), (k, m_fused[k], m_unfused[k])
+    from jax.flatten_util import ravel_pytree
+
+    fa, _ = ravel_pytree(jax.device_get(t_fused.state["params"]["g"]))
+    fb, _ = ravel_pytree(jax.device_get(t_unfused.state["params"]["g"]))
+    assert float(np.max(np.abs(fa - fb))) <= 5e-3
