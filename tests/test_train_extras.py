@@ -301,6 +301,84 @@ def test_trainer2_co_mod_full_iteration(co_mod, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_preemption(tmp_path):
+    """SIGTERM mid-training -> flush + final checkpoint + exit 0, then a
+    clean --resume_dir/--resume_step restart (the spot-TPU-VM preemption
+    contract; the reference's only recovery is the periodic
+    model_save_freq save, train_3_encoder.py:708-733)."""
+    import json
+    import signal
+    import time
+
+    env = _scrubbed_env()
+    exp = tmp_path / "exp"
+    common = [
+        sys.executable, "tools/train_3_encoder.py",
+        "--fake_data",
+        "--size", "8", "--input_size", "128",
+        "--rec_batch", "2", "--ds_batch", "2",
+        "--d_reg_every", "2", "--g_reg_every", "2",
+        "--lpips_loss_lambda", "0", "--face_id_loss_lambda", "0",
+        "--rec_face_reg_loss_lambda", "0", "--ds_face_reg_loss_lambda", "0",
+        "--ep_face_reg_loss_lambda", "0",
+        "--log_every", "1",
+        "--exp_dir", str(exp),
+    ]
+    proc = subprocess.Popen(
+        common + ["--training_iters", "100"],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    log = exp / "training_log.jsonl"
+    deadline = time.time() + 2400
+    try:
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                out, err = proc.communicate()
+                raise AssertionError(
+                    f"CLI exited early rc={proc.returncode}:\n"
+                    f"{out[-2000:]}\n{err[-2000:]}"
+                )
+            if log.exists() and len(log.read_text().strip().splitlines()) >= 2:
+                break
+            time.sleep(2)
+        else:
+            raise AssertionError("no training iterations within deadline")
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-2000:] + err[-2000:]
+    assert "[preempt] checkpoint saved at iter" in out, out[-2000:]
+
+    recs = [json.loads(ln) for ln in log.read_text().strip().splitlines()]
+    pre = [r for r in recs if "preempted_at" in r]
+    assert len(pre) == 1
+    step = pre[0]["preempted_at"]
+    # Every iteration up to the preemption point was flushed before exit.
+    iters = sorted(r["iter"] for r in recs if "iter" in r)
+    assert iters == list(range(step + 1))
+    assert (exp / "ckpt" / f"{step:06d}").exists()
+    assert (exp / "ckpt" / f"{step:06d}.json").exists()
+
+    # Resume continues from step+1 without error (warm compile cache).
+    proc2 = subprocess.run(
+        common + [
+            "--training_iters", str(step + 3),
+            "--resume_dir", str(exp / "ckpt"), "--resume_step", str(step),
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert proc2.returncode == 0, (
+        proc2.stdout[-2000:] + proc2.stderr[-2000:]
+    )
+    recs = [json.loads(ln) for ln in log.read_text().strip().splitlines()]
+    iters = sorted(r["iter"] for r in recs if "iter" in r)
+    assert iters[-1] == step + 2
+
+
+@pytest.mark.slow
 def test_edit_cli(tmp_path):
     """tools/edit.py serves (photo, render) -> edited image from a Trainer
     checkpoint (the Forward_Inference_3_Encoder production flow)."""
@@ -341,6 +419,36 @@ def test_edit_cli(tmp_path):
     img = np.asarray(Image.open(out))
     assert img.shape == (8, 8, 3)  # generator size of the tiny config
     assert (out_dir / "photo__render_grid.png").exists()
+
+
+@pytest.mark.slow
+def test_export_model_cli_roundtrip(tmp_path):
+    """tools/export_model.py serializes the serving forward via jax.export
+    and the artifact reproduces the live forward (--verify) — the AOT
+    deployment path replacing the reference's torch.save pickles."""
+    from fm3dgan.train import Trainer
+
+    trainer = Trainer(
+        _tiny_cfg(), seed=0, use_lpips=False, use_arcface=False,
+        input_size=128,
+    )
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(ckpt_dir)
+    trainer.save_checkpoint(ckpt_dir, 1)
+
+    env = _scrubbed_env()
+    out = tmp_path / "model.shlo"
+    proc = subprocess.run(
+        [
+            sys.executable, "tools/export_model.py",
+            "--ckpt_dir", ckpt_dir, "--step", "1",
+            "--out", str(out), "--batch", "2", "--verify",
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "verify OK" in proc.stdout, proc.stdout[-2000:]
+    assert out.stat().st_size > 0
 
 
 def test_shared_forward_fused_matches_unfused():

@@ -209,6 +209,9 @@ def main():
             staged = staged + (None,)
         return staged
 
+    from fm3dgan.train.preempt import GracefulShutdown
+
+    stopper = GracefulShutdown()
     pending: list = []
     staged = _stage(_load_batch(start_iter))
     with open(log_path, "a") as logf:
@@ -222,6 +225,10 @@ def main():
             if i + 1 < cfg.training_iters:
                 staged = _stage(_load_batch(i + 1))
             dt = time.time() - t0
+            # Snapshot once per iteration so the flush and the
+            # checkpoint-and-exit below see the same value even if the
+            # signal lands between them.
+            preempt_now = stopper.requested
             # Deferred host read (see tools/train_3_encoder.py --log_every):
             # float()-ing device scalars every step serializes a sync into
             # every iteration.
@@ -230,6 +237,7 @@ def main():
                 len(pending) >= max(1, args.log_every)
                 or i == cfg.training_iters - 1
                 or (i % cfg.model_save_freq == 0 and i > 0)
+                or preempt_now
             ):
                 for j, jdt, jds, m in pending:
                     line = {
@@ -248,6 +256,11 @@ def main():
                 pending.clear()
             if i % cfg.model_save_freq == 0 and i > 0:
                 trainer.save_checkpoint(ckpt_dir, i)
+
+            # Spot-VM preemption (SIGTERM) / ctrl-C: final checkpoint, exit 0.
+            if preempt_now:
+                stopper.checkpoint_and_exit(trainer, ckpt_dir, i, logf)
+                break
 
 
 if __name__ == "__main__":

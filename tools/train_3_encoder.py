@@ -208,6 +208,9 @@ def main():
             ).mean(axis=(2, 4))
         return g_input, r_input, g_ref
 
+    from fm3dgan.train.preempt import GracefulShutdown
+
+    stopper = GracefulShutdown()
     pending: list = []
     # Double-buffered input transfer: batch i is already on device when step
     # i dispatches; batch i+1's device_put is issued right after, overlapping
@@ -223,6 +226,10 @@ def main():
             if i + 1 < cfg.training_iters:
                 staged = trainer.stage_batch(*_load_batch(i + 1))
             dt = time.time() - t0
+            # Snapshot once per iteration so the flush and the
+            # checkpoint-and-exit below see the same value even if the
+            # signal lands between them.
+            preempt_now = stopper.requested
             # Defer the host read: metrics are device scalars; float()-ing
             # them here would sync every step.  time_s is dispatch wall (the
             # device runs ahead); flush intervals carry true throughput.
@@ -232,6 +239,7 @@ def main():
                 or i == cfg.training_iters - 1
                 or (i % cfg.val_sample_freq == 0 and i > 0)
                 or (i % cfg.model_save_freq == 0 and i > 0)
+                or preempt_now
             ):
                 for j, jdt, jds, jep, m in pending:
                     line = {
@@ -274,6 +282,11 @@ def main():
                     }
                     print(f"[{i}] quant eval: {printable}")
                 trainer.save_checkpoint(ckpt_dir, i)
+
+            # Spot-VM preemption (SIGTERM) / ctrl-C: final checkpoint, exit 0.
+            if preempt_now:
+                stopper.checkpoint_and_exit(trainer, ckpt_dir, i, logf)
+                break
 
 
 def _make_eval_hook(args, cfg, trainer):
