@@ -40,12 +40,14 @@ WARMUP = 3
 ITERS = 10
 
 # Warm-cache full run is ~60-120s, but a COLD 256px-pipeline compile over
-# the remote tunnel takes up to ~10 min (and a tunnel outage wipes the cache
-# via the stale-cache retry below) — attempt 1 must cover the cold case or a
-# healthy-TPU/cold-cache round records 0.0.  Attempt 2 is the clean-cache
-# retry.  Total stays within plausible driver timeouts while still emitting
-# JSON on our own deadline.
-ATTEMPT_TIMEOUT_S = (750, 400)
+# the remote tunnel takes up to ~10 min — attempt 1 must cover the cold case
+# or a healthy-TPU/cold-cache round records 0.0.  Attempt 2's deadline
+# depends on how attempt 1 failed: after a stale-cache wipe the retry must
+# cold-compile (full 750s budget); after a hang the tunnel is down and a
+# short retry bounds total runtime before the guaranteed error JSON.
+ATTEMPT1_TIMEOUT_S = 750
+ATTEMPT2_COLD_TIMEOUT_S = 750
+ATTEMPT2_HANG_TIMEOUT_S = 400
 
 
 def _log(msg: str) -> None:
@@ -131,8 +133,8 @@ def child_main() -> None:
 
 def main() -> None:
     last_err = "unknown"
+    deadline = ATTEMPT1_TIMEOUT_S
     for attempt in (1, 2):
-        deadline = ATTEMPT_TIMEOUT_S[attempt - 1]
         _log(f"attempt {attempt}/2 (timeout {deadline}s)")
         stale_cache = False
         try:
@@ -180,11 +182,15 @@ def main() -> None:
             # Clear the cache only on stale-executable signatures — a hang
             # (tunnel outage) says nothing about the cache, and wiping it
             # forces the NEXT healthy run through a ~10-min cold compile.
+            # The retry's deadline must then cover that cold compile; after
+            # a hang, keep the retry short instead.
             if stale_cache:
                 _log(f"clearing compile cache {CACHE_DIR} and retrying")
                 shutil.rmtree(CACHE_DIR, ignore_errors=True)
+                deadline = ATTEMPT2_COLD_TIMEOUT_S
             else:
                 _log("retrying (cache kept)")
+                deadline = ATTEMPT2_HANG_TIMEOUT_S
     _emit(0.0, error=last_err[:500])
 
 

@@ -125,6 +125,33 @@ def make_sharded_feature_fn(
     return jax.jit(wrapped)
 
 
+def make_mesh_feature_fn(
+    feature_fn: Callable[[jax.Array], jax.Array], mesh
+) -> Callable[[jax.Array], jax.Array]:
+    """images -> features, sharded over the mesh's 'data' axis.
+
+    Wraps a bound single-argument feature extractor (e.g. an InceptionV3
+    pool3 closure) in :func:`make_sharded_feature_fn`'s shard_map +
+    all_gather program.  Batch sizes need not divide the mesh (the FID
+    default is 100 on mesh(8), plus the ``n_sample % batch_size`` residual
+    batch): inputs are zero-padded to the next multiple and the padded
+    rows' features trimmed.
+    """
+    sharded = make_sharded_feature_fn(lambda _v, img: feature_fn(img), mesh)
+    n_dev = mesh.devices.size
+
+    def run(img):
+        b = img.shape[0]
+        pad = (-b) % n_dev
+        if pad:
+            img = jnp.concatenate(
+                [img, jnp.zeros((pad,) + img.shape[1:], img.dtype)], axis=0
+            )
+        return sharded({}, img)[:b]
+
+    return run
+
+
 def get_model_fid_score(
     generator_fn: Callable[[jax.Array], jax.Array],
     inception_fn: Callable[[jax.Array], jax.Array],
@@ -144,12 +171,7 @@ def get_model_fid_score(
     if key is None:
         key = jax.random.PRNGKey(0)
     if mesh is not None:
-        from fm3dgan.parallel.mesh import shard_batch
-
-        base_inception_fn = inception_fn
-        inception_fn = lambda img: base_inception_fn(
-            shard_batch(img, mesh)
-        )
+        inception_fn = make_mesh_feature_fn(inception_fn, mesh)
     features = extract_features_from_samples(
         generator_fn, inception_fn, key, latent_dim, n_sample, batch_size
     )

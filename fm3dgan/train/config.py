@@ -134,3 +134,31 @@ class TrainConfig:
             return False
         ds_count = i // self.ds_freq  # DS iters before this one
         return ds_count % self.ex_ds_freq == self.ex_ds_freq - 1
+
+    # --- auto-fuse HBM heuristic, shared by Trainer and Trainer2 ---
+
+    def fuse_fits_hbm(self, per_chip_imgs: int) -> bool:
+        """One-dispatch iteration fits HBM at this per-chip load?
+
+        Measured on v5e: bs32/256px fused is ~65MB over HBM even with
+        remat_frozen/remat_reg, so the cap is ``fuse_img_equiv_limit``
+        img-equivalents (batch * (size/256)^2); without both remat flags
+        the cap is also 16.
+        """
+        limit = self.fuse_img_equiv_limit
+        if not (self.remat_frozen and self.remat_reg):
+            limit = min(limit, 16)
+        return per_chip_imgs * self.size ** 2 <= limit * 256 ** 2
+
+    def fuse_allows_regs(self, do_r1: bool, will_g_reg: bool) -> bool:
+        """May this iteration's regularizers join the fused dispatch?
+
+        PPL joins when fuse_reg_iters (needs remat_reg); R1 is gated
+        separately by fuse_r1_iters (fusing it measured SLOWER — its
+        in-program bloat outweighs 1/16-cadence dispatch savings).
+        """
+        if not self.fuse_reg_iters or not self.remat_reg:
+            return not (do_r1 or will_g_reg)
+        if not self.fuse_r1_iters:
+            return not do_r1
+        return True

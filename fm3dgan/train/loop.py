@@ -286,20 +286,12 @@ class Trainer:
 
         if fused is None:
             # Auto: one-dispatch iteration whenever the per-chip
-            # img-equivalents fit the configured HBM budget (16 on v5e —
-            # bs32/256px fused measured ~65MB over HBM even with
-            # remat_frozen/remat_reg; without remat the cap is also 16).
+            # img-equivalents fit the HBM budget (TrainConfig.fuse_fits_hbm).
             per_chip = g_input.shape[0] // max(1, (
                 len(self.mesh.devices.flat) if self.mesh is not None else 1
             ))
-            limit = self.config.fuse_img_equiv_limit
-            if not (self.config.remat_frozen and self.config.remat_reg):
-                limit = min(limit, 16)
-            fused = per_chip * self.config.size ** 2 <= limit * 256 ** 2
-        if not self.config.fuse_reg_iters or not self.config.remat_reg:
-            fused = fused and not (do_r1 or will_g_reg)
-        elif not self.config.fuse_r1_iters:
-            fused = fused and not do_r1
+            fused = cfg.fuse_fits_hbm(per_chip)
+        fused = fused and cfg.fuse_allows_regs(do_r1, will_g_reg)
         # Draw the iteration's 3 keys up-front so fused/unfused/shared-noise
         # runs consume the identical RNG stream.
         d_rng = self._next_key()

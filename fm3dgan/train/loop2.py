@@ -186,6 +186,11 @@ class Trainer2:
             return shard_batch(tuple(jnp.asarray(a) for a in arrays), self.mesh)
         return tuple(jnp.asarray(a) for a in arrays)
 
+    def stage_batch(self, *arrays):
+        """Issue the host->device transfer for an upcoming iteration NOW
+        (double-buffered prefetch contract — see Trainer.stage_batch)."""
+        return self._put(*arrays)
+
     def train_iteration(
         self,
         iter_idx: int,
@@ -255,14 +260,9 @@ class Trainer2:
             per_chip = bsz // max(1, (
                 len(self.mesh.devices.flat) if self.mesh is not None else 1
             ))
-            limit = cfg.fuse_img_equiv_limit
-            if not (cfg.remat_frozen and cfg.remat_reg):
-                limit = min(limit, 16)
-            fused = per_chip * cfg.size ** 2 <= limit * 256 ** 2
-            if not cfg.fuse_reg_iters or not cfg.remat_reg:
-                fused = fused and not (do_r1 or will_g_reg)
-            elif not cfg.fuse_r1_iters:
-                fused = fused and not do_r1
+            fused = cfg.fuse_fits_hbm(per_chip) and cfg.fuse_allows_regs(
+                do_r1, will_g_reg
+            )
 
         if fused:
             self.state, m = self.steps["fused_shared_iteration_step"](

@@ -115,13 +115,13 @@ def make_step_fns(
 
     # ---------------- D step (train_3_encoder.py:448-477) ----------------
 
-    def _d_impl(state: TrainState, photo, render, ref, rng, use_edit: bool):
+    def _d_update_from_fake(
+        state: TrainState, fake_sg, ref, use_edit: bool, new_stats
+    ):
+        """D loss/grad/optimizer update given an already stop-gradiented
+        fake batch (shared by the plain D step and the shared-forward fused
+        iteration, which reuses ONE generator forward for both updates)."""
         d_key = "d_edit" if use_edit else "d"
-        fake, new_stats = forward_full(
-            models, state.params, state.stats, photo, render, config,
-            noise_rng=rng, train=True,
-        )
-        fake = jax.lax.stop_gradient(fake)
 
         def loss_fn(d_params):
             # Two separate B-batch D calls (the reference's shape,
@@ -130,7 +130,7 @@ def make_step_fns(
             # tests/test_models.py) but measured ~9% slower end-to-end on
             # v5e — the batched-axis lowering of minibatch-stddev's grouped
             # reshape inserts extra copies.
-            out_pred = d_module.apply({"params": d_params}, fake)
+            out_pred = d_module.apply({"params": d_params}, fake_sg)
             ref_pred = d_module.apply({"params": d_params}, ref)
             loss = d_logistic_loss(ref_pred, out_pred)
             return loss, (jnp.mean(ref_pred), jnp.mean(out_pred))
@@ -151,6 +151,15 @@ def make_step_fns(
         )
         metrics = {"d": loss, "ref_score": ref_score, "out_score": out_score}
         return state, metrics
+
+    def _d_impl(state: TrainState, photo, render, ref, rng, use_edit: bool):
+        fake, new_stats = forward_full(
+            models, state.params, state.stats, photo, render, config,
+            noise_rng=rng, train=True,
+        )
+        return _d_update_from_fake(
+            state, jax.lax.stop_gradient(fake), ref, use_edit, new_stats
+        )
 
     d_step = functools.partial(
         jax.jit, static_argnames=("use_edit",), donate_argnums=(0,)
@@ -543,32 +552,11 @@ def make_step_fns(
         fake, pullback, new_stats = jax.vjp(fwd, g_enc_params, has_aux=True)
         fake_sg = jax.lax.stop_gradient(fake)
 
-        # --- D update (same math as _d_impl, reusing fake) ---
-        def d_loss_fn(d_params):
-            out_pred = d_module.apply({"params": d_params}, fake_sg)
-            ref_pred = d_module.apply({"params": d_params}, ref)
-            loss = d_logistic_loss(ref_pred, out_pred)
-            return loss, (jnp.mean(ref_pred), jnp.mean(out_pred))
-
-        (d_loss, (ref_score, out_score)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(state.params[d_key])
-        opt_state = state.d_edit_opt if use_edit else state.d_opt
-        updates, new_d_opt = d_tx.update(d_grads, opt_state, state.params[d_key])
-        new_params = dict(state.params)
-        new_params[d_key] = optax.apply_updates(state.params[d_key], updates)
-        state = state.replace(
-            params=new_params,
-            stats=new_stats,
-            **(
-                {"d_edit_opt": new_d_opt}
-                if use_edit
-                else {"d_opt": new_d_opt}
-            ),
+        # --- D update (the _d_impl body, reusing the shared fake) ---
+        state, d_metrics = _d_update_from_fake(
+            state, fake_sg, ref, use_edit, new_stats
         )
-        metrics.update(
-            {"d": d_loss, "ref_score": ref_score, "out_score": out_score}
-        )
+        metrics.update(d_metrics)
 
         if do_r1:
             state, r1_m = _d_reg_impl(state, ref, use_edit)

@@ -83,14 +83,12 @@ def make_2encoder_step_fns(
         return img, new_stats
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def d_step(state, photo, render, ref, rng):
-        fake, new_stats = _fwd(
-            state["params"], state["stats"], photo, render, True, rng
-        )
-        fake = jax.lax.stop_gradient(fake)
+    def _d_update_from_fake(state, fake_sg, ref, new_stats):
+        """D loss/grad/optimizer update given an already stop-gradiented
+        fake batch (shared by d_step and the shared-forward fused step)."""
 
         def loss_fn(d_params):
-            out_pred = d_module.apply({"params": d_params}, fake)
+            out_pred = d_module.apply({"params": d_params}, fake_sg)
             ref_pred = d_module.apply({"params": d_params}, ref)
             return d_logistic_loss(ref_pred, out_pred), (
                 jnp.mean(ref_pred),
@@ -107,6 +105,14 @@ def make_2encoder_step_fns(
         state["stats"] = new_stats
         state["d_opt"] = new_opt
         return state, {"d": loss, "ref_score": rs, "out_score": os_}
+
+    def d_step(state, photo, render, ref, rng):
+        fake, new_stats = _fwd(
+            state["params"], state["stats"], photo, render, True, rng
+        )
+        return _d_update_from_fake(
+            state, jax.lax.stop_gradient(fake), ref, new_stats
+        )
 
     def _d_reg_impl(state, ref):
         def loss_fn(d_params):
@@ -335,29 +341,9 @@ def make_2encoder_step_fns(
         fake, pullback, new_stats = jax.vjp(fwd, enc_params, has_aux=True)
         fake_sg = jax.lax.stop_gradient(fake)
 
-        # --- D update (same math as d_step, reusing fake) ---
-        def d_loss_fn(d_params):
-            out_pred = d_module.apply({"params": d_params}, fake_sg)
-            ref_pred = d_module.apply({"params": d_params}, ref)
-            return d_logistic_loss(ref_pred, out_pred), (
-                jnp.mean(ref_pred),
-                jnp.mean(out_pred),
-            )
-
-        (d_loss, (rs, os_)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(state["params"]["d"])
-        updates, new_d_opt = d_tx.update(
-            d_grads, state["d_opt"], state["params"]["d"]
-        )
-        state = dict(state)
-        state["params"] = dict(state["params"])
-        state["params"]["d"] = optax.apply_updates(
-            state["params"]["d"], updates
-        )
-        state["stats"] = new_stats
-        state["d_opt"] = new_d_opt
-        metrics.update({"d": d_loss, "ref_score": rs, "out_score": os_})
+        # --- D update (the d_step body, reusing the shared fake) ---
+        state, d_metrics = _d_update_from_fake(state, fake_sg, ref, new_stats)
+        metrics.update(d_metrics)
 
         if do_r1:
             state, r1_m = _d_reg_impl(state, ref)

@@ -59,6 +59,18 @@ assert feats.shape == (16, 2048), feats.shape
 ref = np.asarray(jax.jit(model.apply)(variables, x))
 np.testing.assert_allclose(feats, ref, atol=1e-4, rtol=1e-4)
 print("sharded-eval OK", feats.shape)
+
+# get_model_fid_score's mesh path: batches that do NOT divide the mesh
+# (10 on mesh(8)) must pad, extract, and trim — not crash on device_put
+# divisibility.
+from fm3dgan.eval.fid import make_mesh_feature_fn
+mfn = make_mesh_feature_fn(
+    lambda im: model.apply(variables, im), mesh
+)
+feats10 = np.asarray(mfn(x[:10]))
+assert feats10.shape == (10, 2048), feats10.shape
+np.testing.assert_allclose(feats10, ref[:10], atol=1e-4, rtol=1e-4)
+print("mesh-feature-pad OK", feats10.shape)
 """
 
 
@@ -84,3 +96,4 @@ def test_sharded_eval_feature_extraction_8_devices():
     )
     assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
     assert "sharded-eval OK" in proc.stdout, proc.stdout
+    assert "mesh-feature-pad OK" in proc.stdout, proc.stdout

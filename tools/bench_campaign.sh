@@ -28,8 +28,10 @@ run() {
 }
 
 # 0. inference headline first (also re-warms the TPU compile cache that the
-#    bench watchdog cleared during the outage).
-run inference_bs32 900 python bench.py
+#    bench watchdog cleared during the outage).  Outer timeout must exceed
+#    bench.py's own two-attempt watchdog budget (750+750s) so the supervisor
+#    always gets to emit its JSON line before the shell kills it.
+run inference_bs32 1800 python bench.py
 
 B="python tools/bench_train.py --iters 16 --dtype bfloat16 --upfirdn_backend pallas"
 

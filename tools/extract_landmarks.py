@@ -39,13 +39,18 @@ import numpy as np
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
 
-def _load_image(path: str, size: int | None) -> np.ndarray:
+def _load_image(
+    path: str, size: int | None
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """One decode per file: (pixels resized to size^2, original (w, h))."""
     from PIL import Image
 
-    img = Image.open(path).convert("RGB")
-    if size is not None and img.size != (size, size):
-        img = img.resize((size, size), Image.BILINEAR)
-    return np.asarray(img, np.float32)
+    with Image.open(path) as img:
+        img = img.convert("RGB")
+        orig_size = img.size
+        if size is not None and img.size != (size, size):
+            img = img.resize((size, size), Image.BILINEAR)
+        return np.asarray(img, np.float32), orig_size
 
 
 def _write_landmarks(path: str, lm: np.ndarray) -> None:
@@ -127,11 +132,11 @@ def main():
         chunk = files[start : start + args.batch]
         imgs, orig_sizes = [], []
         for f in chunk:
-            from PIL import Image
-
-            with Image.open(os.path.join(args.img_dir, f)) as im:
-                orig_sizes.append(im.size)  # (w, h)
-            imgs.append(_load_image(os.path.join(args.img_dir, f), args.size))
+            pixels, wh = _load_image(
+                os.path.join(args.img_dir, f), args.size
+            )
+            imgs.append(pixels)
+            orig_sizes.append(wh)
         batch = np.stack(imgs) / 255.0 * 2.0 - 1.0  # [-1, 1] NHWC
         _, lm68 = landmark_fn(batch)
         lm = lm68 if args.points == 68 else landmarks_68_to_5(lm68)

@@ -202,9 +202,9 @@ def main():
         # Double-buffered transfer (see tools/train_3_encoder.py): issue the
         # device_put for batch i+1 right after dispatching step i.
         g_input, r_input, g_ref, ffhq_ref = batch
-        staged = trainer._put(g_input, r_input, g_ref)
+        staged = trainer.stage_batch(g_input, r_input, g_ref)
         if ffhq_ref is not None:
-            staged = staged + trainer._put(ffhq_ref)
+            staged = staged + trainer.stage_batch(ffhq_ref)
         else:
             staged = staged + (None,)
         return staged
