@@ -22,6 +22,9 @@ def main():
     p.add_argument("--n_sample", type=int, default=50_000)
     p.add_argument("--batch", type=int, default=100)
     p.add_argument("--inception_ckpt", default=None)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard inception feature extraction over all local "
+                        "devices (shard_map + all_gather)")
     args = p.parse_args()
 
     import jax
@@ -54,8 +57,15 @@ def main():
     def features(x):
         return inception.apply(inc_vars, x)
 
+    mesh = None
+    if args.data_parallel:
+        from fm3dgan.parallel import create_mesh
+
+        mesh = create_mesh()
+
     fid = get_model_fid_score(
-        gen, features, args.stats, n_sample=args.n_sample, batch_size=args.batch
+        gen, features, args.stats, n_sample=args.n_sample,
+        batch_size=args.batch, mesh=mesh,
     )
     print(f"FID ({args.n_sample} samples): {fid:.4f}")
 
