@@ -82,10 +82,12 @@ def make_2encoder_step_fns(
             new_stats[k] = merged
         return img, new_stats
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def _d_update_from_fake(state, fake_sg, ref, new_stats):
         """D loss/grad/optimizer update given an already stop-gradiented
-        fake batch (shared by d_step and the shared-forward fused step)."""
+        fake batch (shared by d_step and the shared-forward fused step).
+        Plain (un-jitted): both callers trace it inside their own jitted
+        programs — jitting it here would split d_step's generator forward
+        out of the single compiled program."""
 
         def loss_fn(d_params):
             out_pred = d_module.apply({"params": d_params}, fake_sg)
@@ -106,6 +108,7 @@ def make_2encoder_step_fns(
         state["d_opt"] = new_opt
         return state, {"d": loss, "ref_score": rs, "out_score": os_}
 
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def d_step(state, photo, render, ref, rng):
         fake, new_stats = _fwd(
             state["params"], state["stats"], photo, render, True, rng

@@ -76,10 +76,12 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(trainer.state.mean_path_length),
         np.asarray(trainer2.state.mean_path_length),
     )
+    # The restore must actually have replaced the seed-123 init (different
+    # seeds guarantee different initial leaves).
     assert not np.array_equal(
         np.asarray(before),
         np.asarray(jax.tree.leaves(trainer2.state.params["g"])[0]),
-    ) or True  # params may coincide only if load failed; checked above
+    )
 
 
 def test_2encoder_ffhq_ds_steps():

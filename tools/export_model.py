@@ -131,7 +131,11 @@ def main():
         want = np.asarray(
             jax.jit(fn)(variables, photo, render), dtype=np.float32
         )
-        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+        # bf16 outputs carry ~2^-8 relative precision, and the artifact and
+        # the fresh jit may fuse/reassociate differently — a float32-scale
+        # tolerance would spuriously fail a correct bf16 export.
+        tol = 2e-5 if args.dtype == "float32" else 5e-2
+        np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
         print(
             f"verify OK: artifact output matches live forward "
             f"(max |delta| = {np.max(np.abs(got - want)):.2e})"

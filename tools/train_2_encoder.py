@@ -222,13 +222,14 @@ def main():
             metrics = trainer.train_iteration(
                 i, g_input, r_input, g_ref, ffhq_ref=ffhq_ref
             )
-            if i + 1 < cfg.training_iters:
+            # Snapshot once per iteration so every block below sees the same
+            # value even if the signal lands between them; skip next-batch
+            # staging after a signal so the final checkpoint is reached
+            # inside the spot grace window.
+            preempt_now = stopper.requested
+            if not preempt_now and i + 1 < cfg.training_iters:
                 staged = _stage(_load_batch(i + 1))
             dt = time.time() - t0
-            # Snapshot once per iteration so the flush and the
-            # checkpoint-and-exit below see the same value even if the
-            # signal lands between them.
-            preempt_now = stopper.requested
             # Deferred host read (see tools/train_3_encoder.py --log_every):
             # float()-ing device scalars every step serializes a sync into
             # every iteration.
@@ -254,7 +255,7 @@ def main():
                     )
                 logf.flush()
                 pending.clear()
-            if i % cfg.model_save_freq == 0 and i > 0:
+            if i % cfg.model_save_freq == 0 and i > 0 and not preempt_now:
                 trainer.save_checkpoint(ckpt_dir, i)
 
             # Spot-VM preemption (SIGTERM) / ctrl-C: final checkpoint, exit 0.

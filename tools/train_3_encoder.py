@@ -223,13 +223,16 @@ def main():
             ep_flag = cfg.is_extreme_ds_iter(i)
             g_input, r_input, g_ref = staged
             metrics = trainer.train_iteration(i, g_input, r_input, g_ref)
-            if i + 1 < cfg.training_iters:
+            # Snapshot once per iteration so every block below (staging,
+            # flush, eval, checkpoint-and-exit) sees the same value even if
+            # the signal lands between them.  After a preemption signal the
+            # spot grace window is ~30s: skip next-batch staging, the visual
+            # grid, and the multi-minute quant-eval hook so the final
+            # checkpoint is reached before SIGKILL.
+            preempt_now = stopper.requested
+            if not preempt_now and i + 1 < cfg.training_iters:
                 staged = trainer.stage_batch(*_load_batch(i + 1))
             dt = time.time() - t0
-            # Snapshot once per iteration so the flush and the
-            # checkpoint-and-exit below see the same value even if the
-            # signal lands between them.
-            preempt_now = stopper.requested
             # Defer the host read: metrics are device scalars; float()-ing
             # them here would sync every step.  time_s is dispatch wall (the
             # device runs ahead); flush intervals carry true throughput.
@@ -264,13 +267,13 @@ def main():
                 pending.clear()
             # Visual sample grid every val_sample_freq iters with the EMA
             # generator (Sample_Eval_Save_Ckpt, train_3_encoder.py:667-706).
-            if i % cfg.val_sample_freq == 0 and i > 0:
+            if i % cfg.val_sample_freq == 0 and i > 0 and not preempt_now:
                 if val_sets is not None:
                     _save_val_set_grid(trainer, val_sets, sample_dir, i)
                 else:
                     _save_sample_grid(trainer, g_input, r_input, sample_dir, i)
 
-            if i % cfg.model_save_freq == 0 and i > 0:
+            if i % cfg.model_save_freq == 0 and i > 0 and not preempt_now:
                 if eval_hook is not None:
                     scores = eval_hook(i)
                     logf.write(json.dumps({"eval": scores}) + "\n")
