@@ -34,10 +34,12 @@ import time
 CACHE_DIR = "/tmp/fm3dgan_jax_cache_tpu"
 REFERENCE_A100_IMGS_PER_SEC = 200.0
 
-BATCH = 32
-SIZE = 256
+# Env overrides let perf experiments sweep without code edits; the committed
+# defaults are the measured-best configuration.
+BATCH = int(os.environ.get("FM3DGAN_BENCH_BATCH", "32"))
+SIZE = int(os.environ.get("FM3DGAN_BENCH_SIZE", "256"))
 WARMUP = 3
-ITERS = 10
+ITERS = int(os.environ.get("FM3DGAN_BENCH_ITERS", "10"))
 CHAINS = 3
 
 # Warm-cache full run is ~60-120s, but a COLD 256px-pipeline compile over

@@ -23,6 +23,7 @@ def path_regularize(
     mean_path_length: jax.Array,
     key: jax.Array,
     decay: float = 0.01,
+    noise: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compute (path_penalty, new_mean_path_length, path_lengths).
 
@@ -30,12 +31,17 @@ def path_regularize(
       (differentiable through to them).
     latent: the W+ latent input.
     mean_path_length: running EMA scalar (carried in train state).
+    noise: optional pre-drawn white-noise image (already 1/sqrt(H*W)-scaled);
+      default draws it from ``key`` like the reference's randn_like
+      (training_util.py:25-27).  Used by golden-parity tests to feed both
+      frameworks the identical noise.
     """
     fake_img, vjp_fn = jax.vjp(g_fn, latent)
     n, h, w, _ = fake_img.shape
-    noise = jax.random.normal(key, fake_img.shape, fake_img.dtype) / jnp.sqrt(
-        jnp.asarray(h * w, fake_img.dtype)
-    )
+    if noise is None:
+        noise = jax.random.normal(
+            key, fake_img.shape, fake_img.dtype
+        ) / jnp.sqrt(jnp.asarray(h * w, fake_img.dtype))
     (grad,) = vjp_fn(noise)
     # grad: [N, n_latent, D]; sqrt(mean over layers of sum over D of grad^2).
     path_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grad), axis=2), axis=1))
