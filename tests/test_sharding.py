@@ -25,14 +25,21 @@ def test_dryrun_multichip_8_devices():
     # scrubbed_cpu_env strips the axon sitecustomize from PYTHONPATH and all
     # PALLAS_/AXON_/TPU_/JAX_ vars — plain JAX_PLATFORMS=cpu is defeated by
     # the TPU plugin registration and the subprocess lands on real hardware.
-    proc = subprocess.run(
-        [sys.executable, "__graft_entry__.py", "multichip", "8"],
-        cwd=repo,
-        env=scrubbed_cpu_env(8),
-        capture_output=True,
-        text=True,
-        timeout=3000,
-    )
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            [sys.executable, "__graft_entry__.py", "multichip", "8"],
+            cwd=repo,
+            env=scrubbed_cpu_env(8),
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        # Signal-kill (negative rc) = XLA-CPU's stuck-collective watchdog
+        # aborting under host scheduler starvation (8 virtual devices on one
+        # shared core) — retry once, warm from the compile cache.  Genuine
+        # failures exit positive and are not retried.
+        if proc.returncode >= 0 or attempt == 2:
+            break
     assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
     assert "dryrun_multichip OK on 8 devices" in proc.stdout, proc.stdout
     assert "dp-correctness OK" in proc.stdout, proc.stdout
