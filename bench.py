@@ -35,8 +35,11 @@ CACHE_DIR = "/tmp/fm3dgan_jax_cache_tpu"
 REFERENCE_A100_IMGS_PER_SEC = 200.0
 
 # Env overrides let perf experiments sweep without code edits; the committed
-# defaults are the measured-best configuration.
-BATCH = int(os.environ.get("FM3DGAN_BENCH_BATCH", "32"))
+# defaults are the measured-best configuration.  Batch sweep on v5e-1
+# (2026-08-19, chained/synced img/s): 32 -> 597/413, 64 -> 633/520,
+# 128 -> 687/606, 256 -> 708/665 (diminishing past 128; serving-scale
+# batches amortize the per-dispatch tunnel cost and fill the MXU).
+BATCH = int(os.environ.get("FM3DGAN_BENCH_BATCH", "256"))
 SIZE = int(os.environ.get("FM3DGAN_BENCH_SIZE", "256"))
 WARMUP = 3
 ITERS = int(os.environ.get("FM3DGAN_BENCH_ITERS", "10"))
