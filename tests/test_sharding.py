@@ -27,7 +27,8 @@ def test_dryrun_multichip_8_devices():
     # the TPU plugin registration and the subprocess lands on real hardware.
     for attempt in (1, 2):
         proc = subprocess.run(
-            [sys.executable, "__graft_entry__.py", "multichip", "8"],
+            [sys.executable, "__graft_entry__.py", "multichip", "8",
+             "--iters", "2", "--dp-check"],
             cwd=repo,
             env=scrubbed_cpu_env(8),
             capture_output=True,
