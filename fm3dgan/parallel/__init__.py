@@ -1,5 +1,6 @@
 from fm3dgan.parallel.mesh import (
     create_mesh,
+    init_multihost,
     replicate,
     shard_batch,
     batch_sharding,
@@ -8,6 +9,7 @@ from fm3dgan.parallel.mesh import (
 
 __all__ = [
     "create_mesh",
+    "init_multihost",
     "replicate",
     "shard_batch",
     "batch_sharding",

@@ -10,8 +10,17 @@ under plain ``jit`` — GSPMD inserts the gradient all-reduces that
 ``gather_grad``/``reduce_loss_dict`` performed by hand in the reference, and
 loss means over the global batch subsume ``reduce_loss_dict``'s rank-0
 division.  ``jax.lax.all_gather`` replaces the pickle-based ``all_gather``
-for eval feature collection.  Multi-host DCN extends the same mesh via
-``jax.distributed.initialize``.
+for eval feature collection.
+
+Multi-host DCN: ``init_multihost()`` joins the processes (coordinator via
+env/TPU-pod autodetection or explicit args), after which ``create_mesh()``
+spans every host's devices and ``shard_batch``/``replicate`` build global
+arrays from per-process data (``jax.make_array_from_process_local_data``) —
+each host's loader feeds only its own slice, so the global batch is
+``local_batch * process_count``.  GSPMD then rides ICI within a host and DCN
+across hosts with the same step code.  This path cannot be integration-tested
+on this single-host machine; the single-process behavior of every helper is
+unchanged and covered by tests/test_sharding.py.
 """
 
 from __future__ import annotations
@@ -21,6 +30,25 @@ from typing import Optional, Sequence
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> tuple:
+    """Join a multi-host job over DCN.
+
+    On TPU pods all three arguments autodetect from the metadata server /
+    environment; pass them explicitly elsewhere.  Must run before any other
+    JAX call.  Returns (process_index, process_count).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index(), jax.process_count()
 
 
 def create_mesh(
@@ -52,12 +80,36 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a pytree of [N, ...] arrays with N sharded over the mesh."""
+    """Place a pytree of [N, ...] arrays with N sharded over the mesh.
+
+    Single-host: plain device_put.  Multi-host: each process passes its OWN
+    per-host slice and the pieces assemble into one global array (global
+    batch = local N * process_count) without any cross-host host-side copy.
+    """
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params/opt state) over every mesh device."""
+    """Replicate a pytree (params/opt state) over every mesh device.
+
+    Multi-host: every process must hold identical host values (Trainer
+    builds params from the same seed on all hosts), which
+    make_array_from_process_local_data stitches into one replicated array.
+    """
     sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

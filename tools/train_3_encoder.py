@@ -83,6 +83,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_data_workers", type=int, default=4)
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host DCN job (jax.distributed."
+                        "initialize, autodetected on TPU pods) before "
+                        "building the mesh; implies --data_parallel. Each "
+                        "host's loader feeds its own slice — per-host batch "
+                        "sizes in the config, global batch = local x "
+                        "process_count")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--resume_dir", type=str, default=None)
     p.add_argument("--resume_step", type=int, default=None)
     p.add_argument("--log_every", type=int, default=10,
@@ -159,6 +169,12 @@ def main():
     cfg = TrainConfig(**cfg_kwargs)
 
     mesh = None
+    if args.multihost:
+        from fm3dgan.parallel import init_multihost
+
+        init_multihost(args.coordinator_address, args.num_processes,
+                       args.process_id)
+        args.data_parallel = True
     if args.data_parallel:
         from fm3dgan.parallel import create_mesh
 
