@@ -108,14 +108,17 @@ class SEModule(nn.Module):
     """Squeeze-excitation (helpers.py:76-93)."""
 
     reduction: int = 16
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(c // self.reduction, (1, 1), use_bias=False, name="fc1")(s)
+        s = nn.Conv(c // self.reduction, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="fc1")(s)
         s = nn.relu(s)
-        s = nn.Conv(c, (1, 1), use_bias=False, name="fc2")(s)
+        s = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="fc2")(s)
         return x * jax.nn.sigmoid(s)
 
 
@@ -155,7 +158,7 @@ class BottleneckIRSE(nn.Module):
         )(res)
         res = norm("bn2")(res)
         if self.use_se:
-            res = SEModule(name="se")(res)
+            res = SEModule(dtype=self.dtype, name="se")(res)
         return res + shortcut
 
 
@@ -164,6 +167,7 @@ class GradualStyleBlock(nn.Module):
 
     out_c: int
     spatial: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -172,11 +176,12 @@ class GradualStyleBlock(nn.Module):
         num_pools = int(math.log2(self.spatial))
         for i in range(num_pools):
             x = nn.Conv(
-                self.out_c, (3, 3), strides=(2, 2), padding=1, name=f"conv{i}"
+                self.out_c, (3, 3), strides=(2, 2), padding=1,
+                dtype=self.dtype, name=f"conv{i}",
             )(x)
             x = nn.leaky_relu(x, negative_slope=0.01)
         x = x.reshape(x.shape[0], self.out_c)
-        return EqualLinear(self.out_c, name="linear")(x)
+        return EqualLinear(self.out_c, dtype=self.dtype, name="linear")(x)
 
 
 class Backbone(nn.Module):
@@ -319,21 +324,24 @@ class GradualStyleEncoder(nn.Module):
         latents = []
         for j in range(self.coarse_ind):
             latents.append(
-                GradualStyleBlock(512, sp_c3, name=f"style_{j}")(c3)
+                GradualStyleBlock(512, sp_c3, dtype=self.dtype,
+                                  name=f"style_{j}")(c3)
             )
-        lat1 = nn.Conv(512, (1, 1), name="latlayer1")(c2)
+        lat1 = nn.Conv(512, (1, 1), dtype=self.dtype, name="latlayer1")(c2)
         p2 = (
             bilinear_resize_align_corners(c3, lat1.shape[1], lat1.shape[2])
             + lat1
         )
         for j in range(self.coarse_ind, self.middle_ind):
-            latents.append(GradualStyleBlock(512, sp_c2, name=f"style_{j}")(p2))
-        lat2 = nn.Conv(512, (1, 1), name="latlayer2")(c1)
+            latents.append(GradualStyleBlock(512, sp_c2, dtype=self.dtype,
+                                             name=f"style_{j}")(p2))
+        lat2 = nn.Conv(512, (1, 1), dtype=self.dtype, name="latlayer2")(c1)
         p1 = (
             bilinear_resize_align_corners(p2, lat2.shape[1], lat2.shape[2])
             + lat2
         )
         for j in range(self.middle_ind, self.n_styles):
-            latents.append(GradualStyleBlock(512, sp_c1, name=f"style_{j}")(p1))
+            latents.append(GradualStyleBlock(512, sp_c1, dtype=self.dtype,
+                                             name=f"style_{j}")(p1))
 
         return jnp.stack(latents, axis=1)
