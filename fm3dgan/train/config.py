@@ -85,21 +85,20 @@ class TrainConfig:
     remat_reg: bool = True
     # Auto-fuse threshold: run the whole iteration as ONE jitted dispatch
     # when per-chip img-equivalents (batch * (size/256)^2) <= this.  bs32
-    # fused does NOT fit v5e HBM (measured 65MB over even with remat; with
-    # remat_g_forward it compiles but OOMs at run time) — 16 is the v5e
-    # production setting.
+    # fused does NOT fit v5e HBM (measured 65MB over even with remat) — 16
+    # is the v5e production setting.
     fuse_img_equiv_limit: int = 16
     # Fuse PPL regularizer iterations (every g_reg_every) into the single
     # dispatch too.  R1 iterations (every d_reg_every) get their own flag —
     # R1 fires only 1/16 iterations, so its dispatch saving is negligible.
     fuse_reg_iters: bool = True
     fuse_r1_iters: bool = False
-    # Checkpoint the whole G+encoder forward in the G step (recompute it
-    # during the backward).  Costs ~one extra forward of the trunk; buys the
-    # HBM headroom for the one-dispatch fused iteration at large per-chip
-    # batch (the bs32/256px peak sits in the G backward, which frozen-net
-    # remat alone does not shrink).
-    remat_g_forward: bool = False
+    # (A remat_g_forward knob — two-segment encode/generate checkpointing of
+    # the G step — was removed after measurement: it was SLOWER at bs16
+    # (54.6 vs 62.8 img/s, BENCH_CAMPAIGN_r03.jsonl), still OOMed at
+    # bs24/32, and segment-level jax.checkpoint cannot shrink the
+    # within-segment backward peak that actually binds on v5e.  Frozen-net
+    # and regularizer remat (above) are the knobs that pay.)
     # Use the SAME noise RNG for the D-step and G-step generator forwards
     # within an iteration.  The reference draws fresh noise for each
     # (train_3_encoder.py:460,507 both call Forward_Inference_3_Encoder);

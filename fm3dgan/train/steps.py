@@ -325,30 +325,10 @@ def make_step_fns(
         def loss_fn(g_enc_params):
             params = dict(state.params)
             params.update(g_enc_params)
-            if config.remat_g_forward:
-                # Two-segment activation checkpointing: backward recomputes
-                # the generate segment first (encoder activations dead),
-                # then the encode segment — peak ~max(segment) instead of
-                # sum.  A single checkpoint over the whole forward would
-                # save nothing: the backward still needs every recomputed
-                # intermediate live at once.
-                enc_fn = jax.checkpoint(
-                    lambda p, ph, r: _encode(
-                        models, p, state.stats, ph, r, config, train=True
-                    )
-                )
-                gen_fn = jax.checkpoint(
-                    lambda p, lat, tsr: _generate(
-                        models, p, state.stats, lat, tsr, config, rng
-                    )
-                )
-                tensor, latent, new_stats = enc_fn(params, photo, render)
-                fake = gen_fn(params, latent, tensor)
-            else:
-                fake, new_stats = forward_full(
-                    models, params, state.stats, photo, render, config,
-                    noise_rng=rng, train=True,
-                )
+            fake, new_stats = forward_full(
+                models, params, state.stats, photo, render, config,
+                noise_rng=rng, train=True,
+            )
             total, metrics = _g_downstream_losses(
                 fake, state.params[d_key], photo, render, ref, frozen,
                 ds_flag, extreme_ds_flag, apply_hmap,

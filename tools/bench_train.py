@@ -49,8 +49,6 @@ def main():
                    help="override config.fuse_reg_iters (0/1)")
     p.add_argument("--fuse_r1", type=int, default=None,
                    help="override config.fuse_r1_iters (0/1)")
-    p.add_argument("--remat_g", type=int, default=None,
-                   help="override config.remat_g_forward (0/1)")
     p.add_argument("--remat_frozen", type=int, default=None,
                    help="override config.remat_frozen (0/1)")
     p.add_argument("--remat_reg", type=int, default=None,
@@ -81,8 +79,6 @@ def main():
         cfg_kwargs["fuse_reg_iters"] = bool(args.fuse_reg)
     if args.fuse_r1 is not None:
         cfg_kwargs["fuse_r1_iters"] = bool(args.fuse_r1)
-    if args.remat_g is not None:
-        cfg_kwargs["remat_g_forward"] = bool(args.remat_g)
     if args.remat_frozen is not None:
         cfg_kwargs["remat_frozen"] = bool(args.remat_frozen)
     if args.remat_reg is not None:
