@@ -105,34 +105,46 @@ class _ModelSampler:
                 {"params": jax.random.PRNGKey(seed)},
                 jnp.zeros((1, 512), jnp.float32),
             )
-        self._synth = jax.jit(
-            lambda v, w, key: self.generator.apply(
+        # NB: everything (including the [-1,1]->[0,1] postprocess and the
+        # identity-W broadcast over variations) lives inside ONE jit per
+        # identity: on the axon TPU tunnel, fetching the result of EAGER
+        # ops to host hangs indefinitely, while jitted outputs fetch fine.
+        #
+        # Variations are style-mixed: the identity W drives the coarse/middle
+        # layers (held fixed across the batch, ≙ the discofacegan identity
+        # lambda slice) and a fresh per-variation W drives the last 6 fine
+        # layers.  NoiseInjection alone cannot vary an UNTRAINED generator's
+        # output (its weights init to zero, stylegan2.py:301-312), so mixing
+        # is what makes g_0..g_{n-1} genuinely distinct images.
+        def _identity_batch(v, z_id, z_var, key, n_var):
+            w_id = self.generator.apply(v, z_id, method="get_latent")
+            w_var = self.generator.apply(v, z_var, method="get_latent")
+            wb = jnp.broadcast_to(w_id, (n_var,) + w_id.shape[1:])
+            inject = max(1, self.generator.n_latent - 6)
+            img = self.generator.apply(
                 v,
                 input_is_latent=True,
-                latent_styles=[w],
+                latent_styles=[wb, w_var],
+                inject_index=inject,
                 rngs={"noise": key},
             )
-        )
-        self._map = jax.jit(
-            lambda v, z: self.generator.apply(v, z, method="get_latent")
+            return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+        self._identity_batch = jax.jit(
+            _identity_batch, static_argnames=("n_var",)
         )
 
     def identity_images(self, key, n_var: int) -> np.ndarray:
         """One identity W, n_var noise variations -> [n_var, H, W, 3] in
         [0,1] (identity slice held fixed, ≙ discofacegan lambda[0:160])."""
         jax = self.jax
-        kz, kn = jax.random.split(key)
-        import jax.numpy as jnp
+        kz, kv, kn = jax.random.split(key, 3)
 
-        z = jax.random.normal(kz, (1, 512))
-        w = self._map(self.variables, z)
-        imgs = []
-        for i in range(n_var):
-            img = self._synth(
-                self.variables, w, jax.random.fold_in(kn, i)
-            )
-            imgs.append(np.asarray(jnp.clip((img[0] + 1) / 2, 0, 1)))
-        return np.stack(imgs)
+        z_id = jax.random.normal(kz, (1, 512))
+        z_var = jax.random.normal(kv, (n_var, 512))
+        return np.asarray(
+            self._identity_batch(self.variables, z_id, z_var, kn, n_var)
+        )
 
 
 def main():

@@ -96,10 +96,17 @@ def make_loaders(args, cfg):
         SyntheticPairDataset,
         dual_supervision_indices,
     )
+    from fm3dgan.data.datasets import default_transform
+
+    # Encoder streams resize to input_size; the real-image D stream (FFHQ)
+    # stays at the generator size (train.py:699-716 keeps both at its fixed
+    # 256 — here the two are configurable independently).
+    transform = default_transform(args.input_size or cfg.size)
 
     rec_set = ReconstructionDataset(
         os.path.join(args.rec_data_dir, "img"),
         os.path.join(args.rec_data_dir, "render_img"),
+        transform=transform,
     )
     rec = DataLoader(rec_set, cfg.rec_batch, num_workers=args.n_data_workers)
 
@@ -111,6 +118,7 @@ def make_loaders(args, cfg):
             os.path.join(args.ds_data_dir, "edit_render_img"),
             render_image_folder=os.path.join(args.ds_data_dir, "render_img"),
             train=True,
+            transform=transform,
         )
         # Train mode yields [photo, own render, edit render]; the FFHQ-DS
         # branch consumes (photo, edit render) (train.py:715-716).
@@ -124,12 +132,14 @@ def make_loaders(args, cfg):
                 return photo, edit
 
         ds = _EditPairs()
-        ffhq_set = ImageFolderDataset(args.ffhq_data_dir)
+        ffhq_set = ImageFolderDataset(
+            args.ffhq_data_dir, transform=default_transform(cfg.size)
+        )
         ffhq = DataLoader(
             ffhq_set, cfg.ds_batch, num_workers=args.n_data_workers
         )
     else:
-        ds_set = SyntheticPairDataset(args.ds_data_dir)
+        ds_set = SyntheticPairDataset(args.ds_data_dir, transform=transform)
         ds = DataLoader(
             ds_set,
             cfg.ds_batch,

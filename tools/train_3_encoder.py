@@ -121,14 +121,21 @@ def make_loaders(args, cfg: TrainConfig):
         dual_supervision_indices,
         extreme_pose_indices,
     )
+    from fm3dgan.data.datasets import default_transform
+
+    # Real-data images must arrive at the ENCODER input size (the reference's
+    # transform resizes to its fixed 256, dataset.py:24-27; here input_size
+    # is configurable so the transform must follow it).
+    transform = default_transform(args.input_size or cfg.size)
 
     rec_set = ReconstructionDataset(
         os.path.join(args.rec_data_dir, "img"),
         os.path.join(args.rec_data_dir, "render_img"),
+        transform=transform,
     )
     rec = DataLoader(rec_set, cfg.rec_batch, num_workers=args.n_data_workers)
 
-    ds_set = SyntheticPairDataset(args.ds_data_dir)
+    ds_set = SyntheticPairDataset(args.ds_data_dir, transform=transform)
     n_per_id = ds_set.n_img_per_id
     ds = DataLoader(
         ds_set,
@@ -140,7 +147,7 @@ def make_loaders(args, cfg: TrainConfig):
     )
     ep = None
     if args.ep_data_dir:
-        ep_set = SyntheticPairDataset(args.ep_data_dir)
+        ep_set = SyntheticPairDataset(args.ep_data_dir, transform=transform)
         ep = DataLoader(
             ep_set,
             cfg.ds_batch * 2,  # halved after even-index slicing
