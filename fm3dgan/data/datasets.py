@@ -39,19 +39,50 @@ def load_image(path: str, transform: Optional[Callable] = None) -> np.ndarray:
     return transform(img)
 
 
+class _DecodeCache:
+    """Optional memo of decoded+transformed images keyed by path.
+
+    The transform is deterministic (resize + normalize, no augmentation —
+    train_3_encoder.py:233-239), so caching is exact.  A 256px float32 image
+    is 768KB; the reference-scale datasets (10^3-10^4 images) fit host RAM,
+    and on few-core hosts PNG decode otherwise dominates the input pipeline
+    (~25ms/image vs ~15ms/img device step at bs16 on v5e-1)."""
+
+    __slots__ = ("_store",)
+
+    def __init__(self, enabled: bool):
+        self._store: Optional[dict] = {} if enabled else None
+
+    def load(self, path: str, transform: Optional[Callable]) -> np.ndarray:
+        if self._store is None:
+            return load_image(path, transform)
+        out = self._store.get(path)
+        if out is None:
+            # Benign race under the loader's thread pool: idempotent value.
+            out = load_image(path, transform)
+            self._store[path] = out
+        return out
+
+
 class ImageFolderDataset:
     """Flat image folder -> single images (FFHQ_Dataset, dataset.py:19-39)."""
 
-    def __init__(self, image_folder: str, transform: Optional[Callable] = None):
+    def __init__(
+        self,
+        image_folder: str,
+        transform: Optional[Callable] = None,
+        cache: bool = False,
+    ):
         names = sorted(os.listdir(image_folder))
         self.paths = [os.path.join(image_folder, n) for n in names]
         self.transform = transform or default_transform()
+        self._cache = _DecodeCache(cache)
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, index):
-        return load_image(self.paths[index], self.transform)
+        return self._cache.load(self.paths[index], self.transform)
 
 
 class SyntheticPairDataset:
@@ -59,7 +90,13 @@ class SyntheticPairDataset:
     (Synthetic_Dataset, dataset.py:42-74); 7 variations per identity in the
     shipped generation scripts."""
 
-    def __init__(self, image_folder: str, transform: Optional[Callable] = None):
+    def __init__(
+        self,
+        image_folder: str,
+        transform: Optional[Callable] = None,
+        cache: bool = False,
+    ):
+        self._cache = _DecodeCache(cache)
         self.id_list = sorted(os.listdir(image_folder))
         self.g_paths: List[str] = []
         self.r_paths: List[str] = []
@@ -80,8 +117,8 @@ class SyntheticPairDataset:
 
     def __getitem__(self, index):
         return (
-            load_image(self.g_paths[index], self.transform),
-            load_image(self.r_paths[index], self.transform),
+            self._cache.load(self.g_paths[index], self.transform),
+            self._cache.load(self.r_paths[index], self.transform),
         )
 
 
@@ -94,7 +131,9 @@ class ReconstructionDataset:
         photo_image_folder: str,
         render_image_folder: str,
         transform: Optional[Callable] = None,
+        cache: bool = False,
     ):
+        self._cache = _DecodeCache(cache)
         photos = sorted(os.listdir(photo_image_folder))
         renders = sorted(os.listdir(render_image_folder))
         assert len(photos) == len(renders)
@@ -107,8 +146,8 @@ class ReconstructionDataset:
 
     def __getitem__(self, index):
         return (
-            load_image(self.photo_paths[index], self.transform),
-            load_image(self.render_paths[index], self.transform),
+            self._cache.load(self.photo_paths[index], self.transform),
+            self._cache.load(self.render_paths[index], self.transform),
         )
 
 
@@ -125,7 +164,9 @@ class EditingDataset:
         train: bool = False,
         render_image_folder: Optional[str] = None,
         rng: Optional[np.random.RandomState] = None,
+        cache: bool = False,
     ):
+        self._cache = _DecodeCache(cache)
         photos = sorted(os.listdir(photo_image_folder))
         edits = sorted(os.listdir(edit_render_image_folder))
         assert len(photos) * N_EDIT_IMG_PER_ID == len(edits)
@@ -149,16 +190,16 @@ class EditingDataset:
         return len(self.photo_paths)
 
     def __getitem__(self, index):
-        photo = load_image(self.photo_paths[index], self.transform)
+        photo = self._cache.load(self.photo_paths[index], self.transform)
         if self.train:
             edit = self.edit_paths[index][
                 self.rng.randint(N_EDIT_IMG_PER_ID)
             ]
             return [
                 photo,
-                load_image(self.render_paths[index], self.transform),
-                load_image(edit, self.transform),
+                self._cache.load(self.render_paths[index], self.transform),
+                self._cache.load(edit, self.transform),
             ]
         return [photo] + [
-            load_image(p, self.transform) for p in self.edit_paths[index]
+            self._cache.load(p, self.transform) for p in self.edit_paths[index]
         ]

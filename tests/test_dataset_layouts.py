@@ -87,3 +87,38 @@ def test_valnpy_layout(tmp_path):
     bundle = np.load(os.path.join(out, files[0]))
     assert bundle.shape == (6, 32, 32, 3)  # photo + own render + 4 edits
     assert bundle.min() >= -1.0 and bundle.max() <= 1.0
+
+
+def test_decode_cache_memoizes(tmp_path, monkeypatch):
+    """cache=True datasets decode each file once; values are exact."""
+    import fm3dgan.data.datasets as dsm
+    from PIL import Image
+
+    d = tmp_path / "img"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(
+            rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)
+        ).save(d / f"{i}.png")
+
+    calls = {"n": 0}
+    real = dsm.load_image
+
+    def counting(path, transform=None):
+        calls["n"] += 1
+        return real(path, transform)
+
+    monkeypatch.setattr(dsm, "load_image", counting)
+    ds = dsm.ImageFolderDataset(str(d), cache=True)
+    first = [ds[i] for i in range(3)]
+    again = [ds[i] for i in range(3)]
+    assert calls["n"] == 3  # second pass served from the memo
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)
+
+    ds_nocache = dsm.ImageFolderDataset(str(d))
+    calls["n"] = 0
+    ds_nocache[0]
+    ds_nocache[0]
+    assert calls["n"] == 2  # default path untouched

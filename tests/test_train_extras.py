@@ -84,6 +84,7 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_2encoder_ffhq_ds_steps():
     from fm3dgan.models import Discriminator, Generator
     from fm3dgan.models.resnet_encoder import ResNet18Encoder
@@ -180,6 +181,7 @@ def test_train_cli_smoke(tmp_path):
     assert len(log.splitlines()) == 3
 
 
+@pytest.mark.slow
 def test_hmap_loss_wired():
     """Heatmap loss fires past hmap_iter_thres with a nonzero finite metric
     (reference gating: train_3_encoder.py:538-541)."""
@@ -207,6 +209,7 @@ def test_hmap_loss_wired():
     assert float(m1["hmap"]) > 0.0
 
 
+@pytest.mark.slow
 def test_seeded_run_determinism():
     """Two Trainers with the same seed produce identical metrics, including
     the PPL iteration whose batch subset is host-randomly chosen
@@ -236,6 +239,7 @@ def test_seeded_run_determinism():
             assert ma[k] == mb[k], (k, ma[k], mb[k])
 
 
+@pytest.mark.slow
 def test_in_training_quant_eval_hook():
     """QuantEvalHook emits a scores record from the EMA stack
     (Sample_Eval_Save_Ckpt eval half, train_3_encoder.py:708-733)."""
@@ -453,6 +457,7 @@ def test_export_model_cli_roundtrip(tmp_path):
     assert out.stat().st_size > 0
 
 
+@pytest.mark.slow
 def test_shared_forward_fused_matches_unfused():
     """share_dg_noise fast path: the fused shared-forward step (ONE generator
     forward reused for the D and G updates via jax.vjp pullback) must match
@@ -505,6 +510,7 @@ def test_shared_forward_fused_matches_unfused():
     assert float(np.max(np.abs(fa - fb))) <= 5e-3
 
 
+@pytest.mark.slow
 def test_trainer2_shared_forward_fused_matches_unfused():
     """2-encoder share_dg_noise fast path (steps_2encoder.py::
     fused_shared_iteration_step): the one-dispatch shared-forward iteration

@@ -53,6 +53,9 @@ def build_arg_parser():
     p.add_argument("--ffhq_data_dir", type=str, default=None,
                    help="flat FFHQ image folder (D_ffhq reals)")
     p.add_argument("--n_data_workers", type=int, default=4)
+    p.add_argument("--cache_decoded", type=lambda s: s.lower() in
+                   ("1", "true", "yes"), default=True,
+                   help="memoize decoded+transformed images in host RAM")
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--multihost", action="store_true",
                    help="join a multi-host DCN job (jax.distributed."
@@ -107,6 +110,7 @@ def make_loaders(args, cfg):
         os.path.join(args.rec_data_dir, "img"),
         os.path.join(args.rec_data_dir, "render_img"),
         transform=transform,
+        cache=args.cache_decoded,
     )
     rec = DataLoader(rec_set, cfg.rec_batch, num_workers=args.n_data_workers)
 
@@ -119,6 +123,7 @@ def make_loaders(args, cfg):
             render_image_folder=os.path.join(args.ds_data_dir, "render_img"),
             train=True,
             transform=transform,
+            cache=args.cache_decoded,
         )
         # Train mode yields [photo, own render, edit render]; the FFHQ-DS
         # branch consumes (photo, edit render) (train.py:715-716).
@@ -133,13 +138,16 @@ def make_loaders(args, cfg):
 
         ds = _EditPairs()
         ffhq_set = ImageFolderDataset(
-            args.ffhq_data_dir, transform=default_transform(cfg.size)
+            args.ffhq_data_dir, transform=default_transform(cfg.size),
+            cache=args.cache_decoded,
         )
         ffhq = DataLoader(
             ffhq_set, cfg.ds_batch, num_workers=args.n_data_workers
         )
     else:
-        ds_set = SyntheticPairDataset(args.ds_data_dir, transform=transform)
+        ds_set = SyntheticPairDataset(
+            args.ds_data_dir, transform=transform, cache=args.cache_decoded
+        )
         ds = DataLoader(
             ds_set,
             cfg.ds_batch,

@@ -81,6 +81,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_real_eval_faces", type=int, default=2)
     p.add_argument("--n_syn_eval_faces", type=int, default=2)
     p.add_argument("--n_data_workers", type=int, default=4)
+    p.add_argument("--cache_decoded", type=lambda s: s.lower() in
+                   ("1", "true", "yes"), default=True,
+                   help="memoize decoded+transformed images in host RAM "
+                        "(exact: the transform is deterministic); disable "
+                        "for datasets larger than RAM")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices")
     p.add_argument("--multihost", action="store_true",
@@ -132,10 +137,13 @@ def make_loaders(args, cfg: TrainConfig):
         os.path.join(args.rec_data_dir, "img"),
         os.path.join(args.rec_data_dir, "render_img"),
         transform=transform,
+        cache=args.cache_decoded,
     )
     rec = DataLoader(rec_set, cfg.rec_batch, num_workers=args.n_data_workers)
 
-    ds_set = SyntheticPairDataset(args.ds_data_dir, transform=transform)
+    ds_set = SyntheticPairDataset(
+        args.ds_data_dir, transform=transform, cache=args.cache_decoded
+    )
     n_per_id = ds_set.n_img_per_id
     ds = DataLoader(
         ds_set,
@@ -147,7 +155,9 @@ def make_loaders(args, cfg: TrainConfig):
     )
     ep = None
     if args.ep_data_dir:
-        ep_set = SyntheticPairDataset(args.ep_data_dir, transform=transform)
+        ep_set = SyntheticPairDataset(
+            args.ep_data_dir, transform=transform, cache=args.cache_decoded
+        )
         ep = DataLoader(
             ep_set,
             cfg.ds_batch * 2,  # halved after even-index slicing
