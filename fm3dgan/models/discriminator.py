@@ -20,12 +20,13 @@ class Discriminator(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     stddev_group: int = 4
     stddev_feat: int = 1
+    width_mult: float = 1.0  # smoke/dryrun width scale (see channel_table)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         """x: [N, size, size, 3] in [-1, 1] -> logits [N, 1]."""
-        channels = channel_table(self.channel_multiplier)
+        channels = channel_table(self.channel_multiplier, self.width_mult)
         log_size = int(math.log2(self.size))
 
         out = ConvLayer(channels[self.size], 1, dtype=self.dtype, name="from_rgb")(x)

@@ -32,26 +32,37 @@ from fm3dgan.nn.modulated import ConstantInput, StyledConv, ToRGB
 Dtype = Any
 
 
-def channel_table(channel_multiplier: int = 2) -> Dict[int, int]:
-    """Per-resolution channel widths (stylegan2.py:441-451)."""
+def channel_table(
+    channel_multiplier: int = 2, width_mult: float = 1.0
+) -> Dict[int, int]:
+    """Per-resolution channel widths (stylegan2.py:441-451).
+
+    width_mult uniformly scales every width (floor 4) — a smoke/dryrun knob
+    with no reference counterpart: sharding and step semantics are
+    width-independent, so tiny-width configs prove the multi-chip program
+    cheaply.  Production (checkpoint-parity) configs use 1.0.
+    """
+    scale = lambda c: max(4, int(c * width_mult))
     return {
-        4: 512,
-        8: 512,
-        16: 512,
-        32: 512,
-        64: 256 * channel_multiplier,
-        128: 128 * channel_multiplier,
-        256: 64 * channel_multiplier,
-        512: 32 * channel_multiplier,
-        1024: 16 * channel_multiplier,
+        4: scale(512),
+        8: scale(512),
+        16: scale(512),
+        32: scale(512),
+        64: scale(256 * channel_multiplier),
+        128: scale(128 * channel_multiplier),
+        256: scale(64 * channel_multiplier),
+        512: scale(32 * channel_multiplier),
+        1024: scale(16 * channel_multiplier),
     }
 
 
-def default_net_shape(size: int, channel_multiplier: int = 2) -> Tuple[int, ...]:
+def default_net_shape(
+    size: int, channel_multiplier: int = 2, width_mult: float = 1.0
+) -> Tuple[int, ...]:
     """Flatten the channel table into the net_shape list layout the reference
     uses for checkpoint-shape-driven rebuilds (stylegan2.py:461-527):
     [const_in, conv1_out, (up_out, conv_out) per resolution 8..size]."""
-    ch = channel_table(channel_multiplier)
+    ch = channel_table(channel_multiplier, width_mult)
     log_size = int(math.log2(size))
     shape = [ch[4], ch[4]]
     for i in range(3, log_size + 1):
@@ -91,6 +102,7 @@ class Generator(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
     net_shape: Optional[Tuple[int, ...]] = None  # generator_net_shape
+    width_mult: float = 1.0  # smoke/dryrun width scale (see channel_table)
     dtype: Dtype = jnp.float32
 
     @property
@@ -109,7 +121,9 @@ class Generator(nn.Module):
         shape = (
             tuple(self.net_shape)
             if self.net_shape is not None
-            else default_net_shape(self.size, self.channel_multiplier)
+            else default_net_shape(
+                self.size, self.channel_multiplier, self.width_mult
+            )
         )
         assert len(shape) == 2 * (self.log_size - 2) + 2, (shape, self.size)
         self._shape = shape

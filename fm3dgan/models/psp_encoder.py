@@ -21,10 +21,18 @@ from fm3dgan.nn.layers import EqualLinear
 Dtype = Any
 
 
-def get_blocks(num_layers: int) -> List[List[Tuple[int, int, int]]]:
-    """(in_channel, depth, stride) units per stage (helpers.py:38-73)."""
+def get_blocks(
+    num_layers: int, width: int = 64
+) -> List[List[Tuple[int, int, int]]]:
+    """(in_channel, depth, stride) units per stage (helpers.py:38-73).
+
+    ``width`` scales all stage depths (reference stem width 64) — sub-64 is a
+    smoke/dryrun knob; checkpoint-parity configs use 64.
+    """
 
     def block(in_channel, depth, num_units, stride=2):
+        in_channel = in_channel * width // 64
+        depth = depth * width // 64
         return [(in_channel, depth, stride)] + [
             (depth, depth, 1) for _ in range(num_units - 1)
         ]
@@ -114,7 +122,9 @@ class SEModule(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(c // self.reduction, (1, 1), use_bias=False,
+        # max(1, .): sub-reduction-width channels only occur in tiny
+        # smoke/dryrun configs; the reference width (>=64) divides evenly.
+        s = nn.Conv(max(1, c // self.reduction), (1, 1), use_bias=False,
                     dtype=self.dtype, name="fc1")(s)
         s = nn.relu(s)
         s = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
@@ -282,16 +292,18 @@ class GradualStyleEncoder(nn.Module):
     coarse_ind: int = 3
     middle_ind: int = 7
     input_size: int = 256  # reference hardcodes spatials 16/32/64 for 256 input
+    width: int = 64  # stem width; sub-64 = smoke/dryrun knob (see get_blocks)
+    style_dim: int = 512  # W+ code dim (must stay 8*width for the FPN adds)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.num_layers in (18, 50), "FPN tap indices defined for 18/50"
         use_se = self.mode == "ir_se"
-        blocks = get_blocks(self.num_layers)
+        blocks = get_blocks(self.num_layers, self.width)
 
         x = nn.Conv(
-            64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            self.width, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
             name="input_conv",
         )(x)
         x = nn.BatchNorm(
@@ -321,27 +333,30 @@ class GradualStyleEncoder(nn.Module):
         sp_c3 = self.input_size // 16
         sp_c2 = self.input_size // 8
         sp_c1 = self.input_size // 4
+        fpn_c = 8 * self.width  # stage-4 depth (512 at the reference width)
         latents = []
         for j in range(self.coarse_ind):
             latents.append(
-                GradualStyleBlock(512, sp_c3, dtype=self.dtype,
+                GradualStyleBlock(self.style_dim, sp_c3, dtype=self.dtype,
                                   name=f"style_{j}")(c3)
             )
-        lat1 = nn.Conv(512, (1, 1), dtype=self.dtype, name="latlayer1")(c2)
+        lat1 = nn.Conv(fpn_c, (1, 1), dtype=self.dtype, name="latlayer1")(c2)
         p2 = (
             bilinear_resize_align_corners(c3, lat1.shape[1], lat1.shape[2])
             + lat1
         )
         for j in range(self.coarse_ind, self.middle_ind):
-            latents.append(GradualStyleBlock(512, sp_c2, dtype=self.dtype,
+            latents.append(GradualStyleBlock(self.style_dim, sp_c2,
+                                             dtype=self.dtype,
                                              name=f"style_{j}")(p2))
-        lat2 = nn.Conv(512, (1, 1), dtype=self.dtype, name="latlayer2")(c1)
+        lat2 = nn.Conv(fpn_c, (1, 1), dtype=self.dtype, name="latlayer2")(c1)
         p1 = (
             bilinear_resize_align_corners(p2, lat2.shape[1], lat2.shape[2])
             + lat2
         )
         for j in range(self.middle_ind, self.n_styles):
-            latents.append(GradualStyleBlock(512, sp_c1, dtype=self.dtype,
+            latents.append(GradualStyleBlock(self.style_dim, sp_c1,
+                                             dtype=self.dtype,
                                              name=f"style_{j}")(p1))
 
         return jnp.stack(latents, axis=1)

@@ -59,17 +59,24 @@ class BasicBlock(nn.Module):
 
 
 class ResNet18Encoder(nn.Module):
-    """E_Tsr (tensor_encoding=True) / E_W (False) / tensor-transform variant."""
+    """E_Tsr (tensor_encoding=True) / E_W (False) / tensor-transform variant.
+
+    ``width`` is the stem width (reference value 64); layer widths are
+    width*(1,2,4,8) and the output vector/tensor carries 8*width channels.
+    Sub-64 widths are a smoke/dryrun knob (sharding semantics are
+    width-independent); checkpoint-parity configs use 64.
+    """
 
     tensor_encoding: bool = True
     tensor_transform: bool = False
+    width: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x: [N, 256, 256, 3] in [-1,1] -> [N,4,4,512] / [N,512] / both."""
+        """x: [N, 256, 256, 3] in [-1,1] -> [N,4,4,8w] / [N,8w] / both."""
         out = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+            self.width, (7, 7), strides=(2, 2), padding=3, use_bias=False,
             dtype=self.dtype, name="conv1",
         )(x)
         out = nn.BatchNorm(
@@ -81,7 +88,8 @@ class ResNet18Encoder(nn.Module):
         out = nn.max_pool(
             out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
         )
-        layer_planes = [(64, 1), (128, 2), (256, 2), (512, 2)]
+        w = self.width
+        layer_planes = [(w, 1), (2 * w, 2), (4 * w, 2), (8 * w, 2)]
         for li, (planes, stride) in enumerate(layer_planes, start=1):
             out = BasicBlock(
                 planes, stride, dtype=self.dtype, name=f"layer{li}_0"
@@ -98,7 +106,9 @@ class ResNet18Encoder(nn.Module):
             tensor = nn.avg_pool(out, (win, win), strides=(win, win))
             if self.tensor_transform:
                 flat = tensor.reshape(tensor.shape[0], -1)
-                vector = nn.Dense(512, dtype=self.dtype, name="ten_fc")(flat)
+                vector = nn.Dense(
+                    8 * self.width, dtype=self.dtype, name="ten_fc"
+                )(flat)
                 return tensor, vector
             return tensor
         else:

@@ -54,25 +54,46 @@ class FaceManipulator:
         channel_multiplier: int = 2,
         w_plus_layers: int = 18,
         input_size: int = 256,
+        width_mult: float = 1.0,
         dtype=jnp.float32,
     ) -> "FaceManipulator":
+        """width_mult < 1 uniformly shrinks every net (generator channel
+        table, encoder stem widths) — a smoke/dryrun knob; sharding and step
+        semantics are width-independent.  style_dim must equal the encoders'
+        output width (8 * 64*width_mult) so the W * W+ combine types check.
+        Checkpoint-parity configs use 1.0."""
         import math
 
         n_styles = 2 * int(math.log2(size)) - 2
+        enc_width = int(64 * width_mult)
+        assert enc_width >= 1 and 64 * width_mult == enc_width, (
+            f"width_mult {width_mult} must give an integer encoder width"
+        )
+        assert style_dim == 8 * enc_width, (
+            f"style_dim {style_dim} must equal the encoder output width "
+            f"{8 * enc_width} (= 8 * 64*width_mult)"
+        )
         return cls(
             generator=Generator(
                 size=size,
                 style_dim=style_dim,
                 n_mlp=n_mlp,
                 channel_multiplier=channel_multiplier,
+                width_mult=width_mult,
                 dtype=dtype,
             ),
-            e_tsr=ResNet18Encoder(tensor_encoding=True, dtype=dtype),
-            e_w=ResNet18Encoder(tensor_encoding=False, dtype=dtype),
+            e_tsr=ResNet18Encoder(
+                tensor_encoding=True, width=enc_width, dtype=dtype
+            ),
+            e_w=ResNet18Encoder(
+                tensor_encoding=False, width=enc_width, dtype=dtype
+            ),
             e_w_plus=GradualStyleEncoder(
                 num_layers=w_plus_layers,
                 n_styles=n_styles,
                 input_size=input_size,
+                width=enc_width,
+                style_dim=style_dim,
                 dtype=dtype,
             ),
             input_size=input_size,

@@ -24,6 +24,12 @@ class TrainConfig:
     latent: int = 512
     n_mlp: int = 8
     use_separate_d: bool = True
+    # Uniform width scale for G/D/encoders (smoke/dryrun knob; no reference
+    # counterpart).  Sharding and step semantics are width-independent, so
+    # tiny widths prove the multi-chip program at ~1/wm^2 the FLOPs and a
+    # fraction of the XLA-CPU compile bill.  ``latent`` must be set to
+    # 512*width_mult alongside (FaceManipulator.create asserts it).
+    width_mult: float = 1.0
 
     # Encoders (train_3_encoder_hyperparams.py:29-37)
     tsr_encode: str = "Render Image"

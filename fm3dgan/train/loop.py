@@ -55,11 +55,13 @@ class Trainer:
             channel_multiplier=config.channel_multiplier,
             w_plus_layers=config.w_plus_encoder_layer_num,
             input_size=input_size or config.size,
+            width_mult=config.width_mult,
             dtype=jnp.dtype(config.compute_dtype),
         )
         self.d_module = Discriminator(
             size=config.size,
             channel_multiplier=config.channel_multiplier,
+            width_mult=config.width_mult,
             dtype=jnp.dtype(config.compute_dtype),
         )
         # Frozen loss nets run in the training compute dtype too — the LPIPS

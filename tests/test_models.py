@@ -186,3 +186,34 @@ def test_discriminator_vmapped_pair_matches_separate_calls():
     vm = jax.vmap(lambda xb: d.apply(params, xb))(jnp.stack([x1, x2]))
     np.testing.assert_allclose(np.asarray(vm[0]), np.asarray(sep[0]), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(vm[1]), np.asarray(sep[1]), rtol=2e-5, atol=2e-5)
+
+
+def test_tiny_width_mult_pipeline_shapes():
+    """width_mult shrinks every net consistently (the multichip-dryrun
+    config, __graft_entry__.py): E_Tsr tensor channels == generator
+    net_shape[0], E_W vector dim == style_dim == W+ code dim.  Shape-level
+    only (jax.eval_shape — no compiles) so the dryrun config has cheap
+    direct coverage."""
+    from fm3dgan.pipeline.forward import FaceManipulator, forward_3_encoder
+
+    wm = 1 / 16
+    models = FaceManipulator.create(
+        size=8, style_dim=int(512 * wm), n_mlp=2, input_size=128,
+        width_mult=wm,
+    )
+    variables = jax.eval_shape(
+        lambda k: models.init_variables(k), jax.random.PRNGKey(0)
+    )
+    photo = jax.ShapeDtypeStruct((2, 128, 128, 3), jnp.float32)
+    render = jax.ShapeDtypeStruct((2, 128, 128, 3), jnp.float32)
+    img, _ = jax.eval_shape(
+        lambda v, p, r: forward_3_encoder(models, v, p, r),
+        variables, photo, render,
+    )
+    assert img.shape == (2, 8, 8, 3)
+
+    d = Discriminator(size=8, width_mult=wm)
+    x = jax.ShapeDtypeStruct((2, 8, 8, 3), jnp.float32)
+    v_d = jax.eval_shape(d.init, jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(d.apply, v_d, x)
+    assert out.shape == (2, 1)
