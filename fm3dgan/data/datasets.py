@@ -43,15 +43,27 @@ class _DecodeCache:
     """Optional memo of decoded+transformed images keyed by path.
 
     The transform is deterministic (resize + normalize, no augmentation —
-    train_3_encoder.py:233-239), so caching is exact.  A 256px float32 image
-    is 768KB; the reference-scale datasets (10^3-10^4 images) fit host RAM,
-    and on few-core hosts PNG decode otherwise dominates the input pipeline
-    (~25ms/image vs ~15ms/img device step at bs16 on v5e-1)."""
+    train_3_encoder.py:233-239), so caching is exact.  On few-core hosts PNG
+    decode otherwise dominates the input pipeline (~25ms/image vs ~15ms/img
+    device step at bs16 on v5e-1).
 
-    __slots__ = ("_store",)
+    ``enabled`` may be a bool (False = off, True = UNBOUNDED — explicit
+    opt-in only: a 256px float32 image is 768KB, so FFHQ-scale editing
+    layouts (~420k files) would need ~320GB) or an int entry cap: once full,
+    new paths are decoded but not stored, bounding host RAM while still
+    memoizing the hot subset.  Use ``auto_cache_entries`` to derive a cap
+    from available RAM."""
 
-    def __init__(self, enabled: bool):
-        self._store: Optional[dict] = {} if enabled else None
+    __slots__ = ("_store", "_max_entries")
+
+    def __init__(self, enabled):
+        if isinstance(enabled, bool):
+            self._store: Optional[dict] = {} if enabled else None
+            self._max_entries = None
+        else:
+            n = int(enabled)
+            self._store = {} if n > 0 else None
+            self._max_entries = n if n > 0 else None
 
     def load(self, path: str, transform: Optional[Callable]) -> np.ndarray:
         if self._store is None:
@@ -60,8 +72,32 @@ class _DecodeCache:
         if out is None:
             # Benign race under the loader's thread pool: idempotent value.
             out = load_image(path, transform)
-            self._store[path] = out
+            if (
+                self._max_entries is None
+                or len(self._store) < self._max_entries
+            ):
+                self._store[path] = out
         return out
+
+
+def auto_cache_entries(size: int, ram_fraction: float = 0.25) -> int:
+    """Decode-cache entry cap that fits ``ram_fraction`` of available RAM.
+
+    One cached image is size*size*3 float32 bytes.  Reads MemAvailable from
+    /proc/meminfo (falls back to 4GB if unreadable) so small generated
+    layouts cache fully while FFHQ-scale ones (~420k files at 256px ≈ 320GB
+    decoded) are bounded instead of OOMing the host mid-training."""
+    avail_kb = 4 * 1024 * 1024
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    entry_bytes = size * size * 3 * 4
+    return max(0, int(avail_kb * 1024 * ram_fraction) // entry_bytes)
 
 
 class ImageFolderDataset:

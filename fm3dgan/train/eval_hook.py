@@ -192,12 +192,17 @@ def make_dir_eval_batches(
     edit_eval_dir: Optional[str],
     batch_size: int,
     n_batches: Optional[int] = None,
+    transform: Optional[Callable] = None,
 ) -> Tuple[Optional[Callable[[], Iterable]], Optional[Callable[[], Iterable]]]:
     """Eval-batch factories from the reference directory layouts.
 
     rec_eval_dir: contains img/ and render_img/ (FFHQ_Dataset_Reconstruction,
     dataset.py:76-106).  edit_eval_dir: contains img/ and edit_render_img/
     (FFHQ_Dataset_Editing eval mode, dataset.py:109-160).
+    transform: the decode transform — pass default_transform(input_size)
+    when training at a non-256 input size (the encoder spatials are
+    input_size-dependent, so the fixed-256 default would crash the first
+    eval pass); None keeps the reference's fixed 256.
     """
     import os
 
@@ -208,6 +213,7 @@ def make_dir_eval_batches(
         rec_set = ReconstructionDataset(
             os.path.join(rec_eval_dir, "img"),
             os.path.join(rec_eval_dir, "render_img"),
+            transform=transform,
         )
 
         def rec_fn():
@@ -230,6 +236,7 @@ def make_dir_eval_batches(
             os.path.join(edit_eval_dir, "img"),
             os.path.join(edit_eval_dir, "edit_render_img"),
             train=False,
+            transform=transform,
         )
 
         def edit_fn():

@@ -556,3 +556,49 @@ def test_trainer2_shared_forward_fused_matches_unfused():
     fa, _ = ravel_pytree(jax.device_get(t_fused.state["params"]["g"]))
     fb, _ = ravel_pytree(jax.device_get(t_unfused.state["params"]["g"]))
     assert float(np.max(np.abs(fa - fb))) <= 5e-3
+
+
+def test_shared_forward_fused_matches_unfused_tiny():
+    """Unmarked (non-slow) fused-parity smoke: the only always-on coverage
+    for the fused shared-forward fast path (the full-width variant above is
+    slow-marked).  width_mult=1/16 + fast_init collapse compile time, and
+    the compared iteration is reg-free (no R1/PPL grad-of-grad — their
+    double-backward compile alone doubles the test's cost; the slow-marked
+    variant covers them).  Parity semantics are width-independent."""
+    from fm3dgan.train import Trainer
+
+    rng = np.random.RandomState(11)
+    photo = rng.uniform(-1, 1, (4, 128, 128, 3)).astype(np.float32)
+    render = rng.uniform(-1, 1, (4, 128, 128, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+
+    def run(fused):
+        cfg = _tiny_cfg(
+            rec_batch=4, ds_batch=4, d_reg_every=3, g_reg_every=3,
+            share_dg_noise=True,
+            width_mult=1 / 16, latent=32, n_mlp=2,
+        )
+        t = Trainer(
+            cfg, seed=5, use_lpips=False, use_arcface=False,
+            input_size=128, fast_init=True,
+        )
+        # Iteration 1: no R1 (1 % 3 != 0 after iter 0... d_reg fires at 0),
+        # no PPL — the fused program is the shared-forward D+G+EMA one.
+        m = t.train_iteration(1, photo, render, ref, fused=fused)
+        return t, {
+            k: float(v)
+            for k, v in m.items()
+            if hasattr(v, "item") or isinstance(v, float)
+        }
+
+    t_fused, m_fused = run(True)
+    t_unfused, m_unfused = run(False)
+    for k in ("d", "g", "l1", "ref_score", "out_score"):
+        assert abs(m_fused[k] - m_unfused[k]) <= 1e-3 * max(
+            1.0, abs(m_unfused[k])
+        ), (k, m_fused[k], m_unfused[k])
+    from jax.flatten_util import ravel_pytree
+
+    fa, _ = ravel_pytree(jax.device_get(t_fused.state.params["g"]))
+    fb, _ = ravel_pytree(jax.device_get(t_unfused.state.params["g"]))
+    assert float(np.max(np.abs(fa - fb))) <= 5e-3

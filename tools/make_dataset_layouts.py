@@ -82,7 +82,10 @@ def _render_standin(img01: np.ndarray) -> np.ndarray:
 
 
 class _ModelSampler:
-    def __init__(self, size: int, ckpt_dir: str | None, seed: int):
+    def __init__(
+        self, size: int, ckpt_dir: str | None, seed: int,
+        mix_mode: str = "fine",
+    ):
         import jax
         import jax.numpy as jnp
 
@@ -110,17 +113,30 @@ class _ModelSampler:
         # identity: on the axon TPU tunnel, fetching the result of EAGER
         # ops to host hangs indefinitely, while jitted outputs fetch fine.
         #
-        # Variations are style-mixed: the identity W drives the coarse/middle
-        # layers (held fixed across the batch, ≙ the discofacegan identity
-        # lambda slice) and a fresh per-variation W drives the last 6 fine
-        # layers.  NoiseInjection alone cannot vary an UNTRAINED generator's
-        # output (its weights init to zero, stylegan2.py:301-312), so mixing
-        # is what makes g_0..g_{n-1} genuinely distinct images.
+        # Variations are style-mixed: the identity W drives the layers below
+        # ``inject`` (held fixed across the batch, ≙ the discofacegan
+        # identity lambda slice) and a fresh per-variation W drives the rest.
+        # NoiseInjection alone cannot vary an UNTRAINED generator's output
+        # (its weights init to zero, stylegan2.py:301-312), so mixing is what
+        # makes g_0..g_{n-1} genuinely distinct images.
+        #
+        # mix_mode picks which layers vary: 'fine' (last 6 — color/texture,
+        # strongest identity hold) for plain DS layouts; 'middle' (all but
+        # the first 3 — structure/pose too) for layouts standing in for
+        # pose-varying data (the extreme-pose sampler's contract,
+        # discofacegan extreme-pose generation): fine-only variation cannot
+        # represent pose changes.
+        assert mix_mode in ("fine", "middle"), mix_mode
+        inject = (
+            max(1, self.generator.n_latent - 6)
+            if mix_mode == "fine"
+            else min(3, self.generator.n_latent - 1)
+        )
+
         def _identity_batch(v, z_id, z_var, key, n_var):
             w_id = self.generator.apply(v, z_id, method="get_latent")
             w_var = self.generator.apply(v, z_var, method="get_latent")
             wb = jnp.broadcast_to(w_id, (n_var,) + w_id.shape[1:])
-            inject = max(1, self.generator.n_latent - 6)
             img = self.generator.apply(
                 v,
                 input_is_latent=True,
@@ -135,8 +151,11 @@ class _ModelSampler:
         )
 
     def identity_images(self, key, n_var: int) -> np.ndarray:
-        """One identity W, n_var noise variations -> [n_var, H, W, 3] in
-        [0,1] (identity slice held fixed, ≙ discofacegan lambda[0:160])."""
+        """One identity W, n_var STYLE-MIXED variations -> [n_var, H, W, 3]
+        in [0,1]: the identity W is held fixed on the layers below the mix
+        point (≙ discofacegan lambda[0:160]) while per-variation W codes
+        drive the rest — fine layers (color/texture) by default, middle+fine
+        (structure/pose) with mix_mode='middle'."""
         jax = self.jax
         kz, kv, kn = jax.random.split(key, 3)
 
@@ -163,6 +182,12 @@ def main():
                    default="procedural")
     p.add_argument("--ckpt_dir", default=None,
                    help="with --source model: trained checkpoint directory")
+    p.add_argument("--mix_mode", choices=("fine", "middle"), default="fine",
+                   help="with --source model: which layers the per-variation"
+                        " W drives. fine = last 6 (color/texture; strongest "
+                        "identity hold). middle = all but the first 3 "
+                        "(structure/pose too) — use for layouts standing in "
+                        "for pose-varying data (extreme-pose DS)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -171,7 +196,9 @@ def main():
     if args.source == "model":
         import jax
 
-        sampler = _ModelSampler(args.size, args.ckpt_dir, args.seed)
+        sampler = _ModelSampler(
+            args.size, args.ckpt_dir, args.seed, mix_mode=args.mix_mode
+        )
 
     def identity_batch(idx: int, n: int) -> np.ndarray:
         if sampler is not None:

@@ -53,9 +53,12 @@ def build_arg_parser():
     p.add_argument("--ffhq_data_dir", type=str, default=None,
                    help="flat FFHQ image folder (D_ffhq reals)")
     p.add_argument("--n_data_workers", type=int, default=4)
-    p.add_argument("--cache_decoded", type=lambda s: s.lower() in
-                   ("1", "true", "yes"), default=True,
-                   help="memoize decoded+transformed images in host RAM")
+    p.add_argument("--cache_decoded", type=str, default="auto",
+                   choices=("auto", "true", "false"),
+                   help="memoize decoded+transformed images in host RAM. "
+                        "auto (default) bounds the cache to ~25%% of "
+                        "available RAM; true = unbounded (opt-in for small "
+                        "layouts); false = off")
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--multihost", action="store_true",
                    help="join a multi-host DCN job (jax.distributed."
@@ -82,6 +85,19 @@ def build_arg_parser():
     return p
 
 
+def _resolve_cache(args, cfg):
+    """--cache_decoded auto/true/false -> _DecodeCache arg (bool or entry
+    cap).  auto derives a cap from available RAM so FFHQ-scale layouts
+    cannot OOM the host (fm3dgan.data.datasets.auto_cache_entries)."""
+    if args.cache_decoded == "true":
+        return True
+    if args.cache_decoded == "false":
+        return False
+    from fm3dgan.data.datasets import auto_cache_entries
+
+    return auto_cache_entries(args.input_size or cfg.size)
+
+
 def make_loaders(args, cfg):
     if args.fake_data:
         from fm3dgan.data import RandomFakeData
@@ -105,12 +121,13 @@ def make_loaders(args, cfg):
     # stays at the generator size (train.py:699-716 keeps both at its fixed
     # 256 — here the two are configurable independently).
     transform = default_transform(args.input_size or cfg.size)
+    cache = _resolve_cache(args, cfg)
 
     rec_set = ReconstructionDataset(
         os.path.join(args.rec_data_dir, "img"),
         os.path.join(args.rec_data_dir, "render_img"),
         transform=transform,
-        cache=args.cache_decoded,
+        cache=cache,
     )
     rec = DataLoader(rec_set, cfg.rec_batch, num_workers=args.n_data_workers)
 
@@ -123,7 +140,7 @@ def make_loaders(args, cfg):
             render_image_folder=os.path.join(args.ds_data_dir, "render_img"),
             train=True,
             transform=transform,
-            cache=args.cache_decoded,
+            cache=cache,
         )
         # Train mode yields [photo, own render, edit render]; the FFHQ-DS
         # branch consumes (photo, edit render) (train.py:715-716).
@@ -139,14 +156,14 @@ def make_loaders(args, cfg):
         ds = _EditPairs()
         ffhq_set = ImageFolderDataset(
             args.ffhq_data_dir, transform=default_transform(cfg.size),
-            cache=args.cache_decoded,
+            cache=cache,
         )
         ffhq = DataLoader(
             ffhq_set, cfg.ds_batch, num_workers=args.n_data_workers
         )
     else:
         ds_set = SyntheticPairDataset(
-            args.ds_data_dir, transform=transform, cache=args.cache_decoded
+            args.ds_data_dir, transform=transform, cache=cache
         )
         ds = DataLoader(
             ds_set,

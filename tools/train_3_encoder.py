@@ -81,11 +81,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_real_eval_faces", type=int, default=2)
     p.add_argument("--n_syn_eval_faces", type=int, default=2)
     p.add_argument("--n_data_workers", type=int, default=4)
-    p.add_argument("--cache_decoded", type=lambda s: s.lower() in
-                   ("1", "true", "yes"), default=True,
+    p.add_argument("--cache_decoded", type=str, default="auto",
+                   choices=("auto", "true", "false"),
                    help="memoize decoded+transformed images in host RAM "
-                        "(exact: the transform is deterministic); disable "
-                        "for datasets larger than RAM")
+                        "(exact: the transform is deterministic). auto "
+                        "(default) bounds the cache to ~25%% of available "
+                        "RAM so FFHQ-scale layouts (~420k files = ~320GB "
+                        "decoded) cannot OOM the host; true = unbounded "
+                        "(explicit opt-in for small generated layouts)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices")
     p.add_argument("--multihost", action="store_true",
@@ -107,6 +110,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "step (~40%% throughput on a remote TPU). 1 = "
                         "reference behavior (train_3_encoder.py:824-858)")
     return p
+
+
+def _resolve_cache(args, cfg):
+    """--cache_decoded auto/true/false -> _DecodeCache arg (bool or entry
+    cap).  auto derives a cap from available RAM so FFHQ-scale layouts
+    cannot OOM the host (fm3dgan.data.datasets.auto_cache_entries)."""
+    if args.cache_decoded == "true":
+        return True
+    if args.cache_decoded == "false":
+        return False
+    from fm3dgan.data.datasets import auto_cache_entries
+
+    return auto_cache_entries(args.input_size or cfg.size)
 
 
 def make_loaders(args, cfg: TrainConfig):
@@ -132,17 +148,18 @@ def make_loaders(args, cfg: TrainConfig):
     # transform resizes to its fixed 256, dataset.py:24-27; here input_size
     # is configurable so the transform must follow it).
     transform = default_transform(args.input_size or cfg.size)
+    cache = _resolve_cache(args, cfg)
 
     rec_set = ReconstructionDataset(
         os.path.join(args.rec_data_dir, "img"),
         os.path.join(args.rec_data_dir, "render_img"),
         transform=transform,
-        cache=args.cache_decoded,
+        cache=cache,
     )
     rec = DataLoader(rec_set, cfg.rec_batch, num_workers=args.n_data_workers)
 
     ds_set = SyntheticPairDataset(
-        args.ds_data_dir, transform=transform, cache=args.cache_decoded
+        args.ds_data_dir, transform=transform, cache=cache
     )
     n_per_id = ds_set.n_img_per_id
     ds = DataLoader(
@@ -156,7 +173,7 @@ def make_loaders(args, cfg: TrainConfig):
     ep = None
     if args.ep_data_dir:
         ep_set = SyntheticPairDataset(
-            args.ep_data_dir, transform=transform, cache=args.cache_decoded
+            args.ep_data_dir, transform=transform, cache=cache
         )
         ep = DataLoader(
             ep_set,
@@ -333,11 +350,16 @@ def _make_eval_hook(args, cfg, trainer):
     )
 
     if args.rec_eval_dir or args.edit_eval_dir:
+        from fm3dgan.data.datasets import default_transform
+
         rec_fn, edit_fn = make_dir_eval_batches(
             args.rec_eval_dir,
             args.edit_eval_dir,
             cfg.quant_eval_batch_size,
             n_batches=args.n_eval_batches,
+            # Eval images must arrive at the encoder input size, like the
+            # training loaders (GradualStyleEncoder spatials depend on it).
+            transform=default_transform(args.input_size or cfg.size),
         )
     elif args.fake_data:
         rec_fn, edit_fn = make_fake_eval_batches(
@@ -399,9 +421,14 @@ def _make_val_sets(args, cfg):
         )
     if args.ds_data_dir and not args.fake_data:
         from fm3dgan.data import SyntheticPairDataset
+        from fm3dgan.data.datasets import default_transform
         from fm3dgan.eval.visual_eval import get_syn_img_val_sample
 
-        ds_set = SyntheticPairDataset(args.ds_data_dir)
+        # Val images must match the encoder input size (the fixed-256
+        # default would crash the first val grid at --input_size != 256).
+        ds_set = SyntheticPairDataset(
+            args.ds_data_dir, transform=default_transform(size)
+        )
         sets += get_syn_img_val_sample(
             ds_set, args.n_syn_eval_faces,
             n_img_per_id=ds_set.n_img_per_id, rng=rng,
