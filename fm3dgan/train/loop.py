@@ -88,11 +88,21 @@ class Trainer:
 
         key = jax.random.PRNGKey(seed)
         (
-            k_models, k_d, k_de, k_lpips, k_arc, k_fan, self._key
+            k_models, k_d, k_de, k_lpips, k_arc, k_fan, _
         ) = jax.random.split(key, 7)
         # Host-side RNG for the path-reg batch-subset choice
         # (train_3_encoder.py:568-570) — seeded so runs are reproducible.
         self._host_rng = np.random.RandomState(seed)
+        # Per-iteration RNG keys are derived on the HOST (``_iter_keys``):
+        # the old jax.random.split chain dispatched 2 tiny device programs
+        # per key — 6 RPC round-trips per training iteration over the
+        # remote-TPU tunnel, visible as jit__threefry_split/jit__unstack
+        # modules between every step in the r5 XPlane trace.  Key width
+        # follows the configured PRNG impl (threefry 2 words, rbg 4).
+        self._seed = seed
+        self._key_words = int(
+            np.prod(jax.eval_shape(jax.random.PRNGKey, 0).shape)
+        )
 
         if fast_init:
             variables = self.models.init_variables_fast(seed=seed)
@@ -219,9 +229,23 @@ class Trainer:
         self._last_r1 = jnp.zeros(())
         self._last_greg = {"g_reg": jnp.zeros(()), "path_length": jnp.zeros(())}
 
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+    def _iter_keys(self, iter_idx: int):
+        """(d_rng, g_rng, ppl_rng) for one iteration, derived host-side.
+
+        Stateless counter-based derivation (numpy Philox keyed on
+        (seed, iter_idx)): zero device dispatches — the split-chain version
+        cost 6 tunnel RPCs per iteration — and resume-invariant: a run
+        resumed at step N draws the identical keys an uninterrupted run
+        would, which a chained split stream cannot.  The raw uint32 words
+        are valid JAX PRNG keys for the configured default impl.
+        """
+        gen = np.random.Generator(
+            np.random.Philox(key=[self._seed & 0xFFFFFFFFFFFFFFFF, iter_idx])
+        )
+        words = gen.integers(
+            0, 2 ** 32, size=(3, self._key_words), dtype=np.uint32
+        )
+        return words[0], words[1], words[2]
 
     def _put(self, *arrays):
         if self.mesh is not None:
@@ -296,9 +320,7 @@ class Trainer:
         fused = fused and cfg.fuse_allows_regs(do_r1, will_g_reg)
         # Draw the iteration's 3 keys up-front so fused/unfused/shared-noise
         # runs consume the identical RNG stream.
-        d_rng = self._next_key()
-        g_rng = self._next_key()
-        ppl_rng = self._next_key()
+        d_rng, g_rng, ppl_rng = self._iter_keys(iter_idx)
         if self.config.share_dg_noise:
             # Same generated batch for the D and G updates: the fused
             # shared-forward step computes ONE generator forward and reuses

@@ -96,8 +96,13 @@ class Trainer2:
 
         key = jax.random.PRNGKey(seed)
         ks = jax.random.split(key, 9)
-        self._key = ks[8]
         self._host_rng = np.random.RandomState(seed)
+        # Host-side stateless per-iteration keys (≙ loop.py::_iter_keys):
+        # no split-chain device dispatches, resume-invariant stream.
+        self._seed = seed
+        self._key_words = int(
+            np.prod(jax.eval_shape(jax.random.PRNGKey, 0).shape)
+        )
         img = jnp.zeros((1, input_size, input_size, 3))
         small = jnp.zeros((1, config.size, config.size, 3))
         v_tsr = jax.jit(self.e_tsr.init)(ks[0], img)
@@ -177,9 +182,15 @@ class Trainer2:
         self._last_r1 = jnp.zeros(())
         self._last_greg = {"g_reg": jnp.zeros(()), "path_length": jnp.zeros(())}
 
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+    def _iter_keys(self, iter_idx: int):
+        """Host-derived (d_rng, g_rng, ppl_rng) — see loop.py::_iter_keys."""
+        gen = np.random.Generator(
+            np.random.Philox(key=[self._seed & 0xFFFFFFFFFFFFFFFF, iter_idx])
+        )
+        words = gen.integers(
+            0, 2 ** 32, size=(3, self._key_words), dtype=np.uint32
+        )
+        return words[0], words[1], words[2]
 
     def _put(self, *arrays):
         if self.mesh is not None:
@@ -245,9 +256,7 @@ class Trainer2:
 
         # Keys drawn up-front so fused/unfused runs consume the identical
         # RNG stream (≙ loop.py).
-        d_rng = self._next_key()
-        g_rng = self._next_key()
-        ppl_rng = self._next_key()
+        d_rng, g_rng, ppl_rng = self._iter_keys(iter_idx)
         if cfg.share_dg_noise:
             g_rng = d_rng
 

@@ -32,6 +32,64 @@ def sync(state):
     return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
+def supervise(argv, artifact, deadline_s):
+    """Run the measurement as a killable child under a hard deadline and
+    ALWAYS write ``artifact`` (same discipline as bench.py: a hung
+    remote-TPU call cannot be interrupted from inside the process, and a
+    timed-out round must still leave a parseable JSON record — BENCH_TRAIN
+    r4 was never written because the number lived only in prose)."""
+    import subprocess
+
+    child_argv = [sys.executable, os.path.abspath(__file__)] + [
+        a for a in argv if not a.startswith("--artifact")
+        and not a.startswith("--deadline")
+    ] + ["--child"]
+    rec = None
+    err = None
+    try:
+        proc = subprocess.run(
+            child_argv, timeout=deadline_s, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        sys.stderr.write(proc.stderr[-4000:])
+        line = next(
+            (ln for ln in reversed(proc.stdout.strip().splitlines())
+             if ln.startswith("{")),
+            None,
+        )
+        if proc.returncode == 0 and line:
+            rec = json.loads(line)
+        else:
+            err = (
+                f"child rc={proc.returncode}: "
+                + (proc.stderr.strip().splitlines()[-1]
+                   if proc.stderr.strip() else "no stderr")
+            )
+    except subprocess.TimeoutExpired as e:
+        tail = e.stderr or b""
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        sys.stderr.write(tail[-2000:])
+        err = f"watchdog: child exceeded {deadline_s}s"
+    if rec is None:
+        rec = {
+            "metric": "train_images_per_sec_per_chip_256px",
+            "value": 0.0,
+            "unit": "img/s",
+            "error": err[:500],
+        }
+    rec["config"] = "tools/bench_train.py " + " ".join(
+        a for a in argv if a != "--child" and not a.startswith("--artifact")
+        and not a.startswith("--deadline")
+    )
+    rec["device"] = "TPU v5e-1 (axon tunnel)"
+    rec["date"] = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    with open(artifact, "w") as f:
+        json.dump(rec, f, indent=2)
+        f.write("\n")
+    print(json.dumps(rec))
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=8)
@@ -63,7 +121,20 @@ def main():
                         "TPU and the generator draws per-layer noise every "
                         "forward; unsafe_rbg trades stream quality for "
                         "near-free on-device bits")
+    p.add_argument("--artifact", default=None,
+                   help="write the result JSON here (e.g. "
+                        "BENCH_TRAIN_r05.json), running the measurement in "
+                        "a killable child under --deadline; the artifact is "
+                        "written even on timeout/crash (error field)")
+    p.add_argument("--deadline", type=int, default=1500,
+                   help="supervisor deadline seconds (cold fused-program "
+                        "compiles take ~10 min on this host)")
+    p.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
+
+    if args.artifact and not args.child:
+        supervise(sys.argv[1:], args.artifact, args.deadline)
+        return
 
     if args.rng_impl:
         import jax

@@ -40,10 +40,33 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no_frozen", action="store_true")
     p.add_argument("--out_dir", default="/tmp/fm3dgan_trace")
+    p.add_argument("--share_noise", type=int, default=None,
+                   help="override config.share_dg_noise (0/1)")
+    p.add_argument("--remat_frozen", type=int, default=None)
+    p.add_argument("--remat_reg", type=int, default=None)
+    p.add_argument("--upfirdn_backend", default=None,
+                   choices=("xla", "pallas"))
+    p.add_argument("--fused", action="store_true",
+                   help="trace the production fused one-dispatch iteration "
+                        "instead of the 4 separate step programs (separate "
+                        "steps group the trace by phase; fused is what the "
+                        "bench measures)")
     args = p.parse_args()
 
     from fm3dgan.train import TrainConfig, Trainer
 
+    if args.upfirdn_backend:
+        from fm3dgan.ops.upfirdn2d import set_backend
+
+        set_backend(args.upfirdn_backend)
+
+    cfg_kwargs = {}
+    if args.share_noise is not None:
+        cfg_kwargs["share_dg_noise"] = bool(args.share_noise)
+    if args.remat_frozen is not None:
+        cfg_kwargs["remat_frozen"] = bool(args.remat_frozen)
+    if args.remat_reg is not None:
+        cfg_kwargs["remat_reg"] = bool(args.remat_reg)
     cfg = TrainConfig(
         size=args.size,
         rec_batch=args.batch,
@@ -51,6 +74,7 @@ def main():
         compute_dtype=args.dtype,
         lpips_loss_lambda=0.0 if args.no_frozen else 3.0,
         face_id_loss_lambda=0.0 if args.no_frozen else 30.0,
+        **cfg_kwargs,
     )
     trainer = Trainer(
         cfg, seed=0,
@@ -69,14 +93,17 @@ def main():
 
     # Compile outside the trace (iter 0 hits rec+R1+PPL; iter 1 hits DS).
     for i in range(2):
-        trainer.train_iteration(i, photo, render, photo, fused=False)
+        trainer.train_iteration(i, photo, render, photo, fused=args.fused)
     _sync(trainer.state.params)
     print("# compiled; tracing", file=sys.stderr)
 
     # Per-step wall-clock breakdown (each step dispatched + synced).
+    # Skipped under --fused: it would compile the 4 separate step programs
+    # solely for the breakdown, and the fused trace carries the same
+    # information through analyze_trace.py.
     breakdown = {}
     key = jax.random.PRNGKey(9)
-    for name, fn in (
+    for name, fn in () if args.fused else (
         ("d_step", lambda: trainer.steps["d_step"](
             trainer.state, photo, render, photo, key, False)),
         ("d_reg_step", lambda: trainer.steps["d_reg_step"](
@@ -102,7 +129,9 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     with jax.profiler.trace(args.out_dir):
         for i in range(args.iters):
-            trainer.train_iteration(16 + i, photo, render, photo, fused=False)
+            trainer.train_iteration(
+                16 + i, photo, render, photo, fused=args.fused
+            )
         _sync(trainer.state.params)
 
     print(json.dumps({"step_seconds": breakdown, "trace_dir": args.out_dir}))

@@ -280,13 +280,20 @@ def main():
             # grid, and the multi-minute quant-eval hook so the final
             # checkpoint is reached before SIGKILL.
             preempt_now = stopper.requested
+            load_s = 0.0
             if not preempt_now and i + 1 < cfg.training_iters:
+                # load_s: host wall spent producing + staging the NEXT batch
+                # while the device runs step i.  The input pipeline is the
+                # bottleneck only when load_s exceeds the device step time
+                # (then time_s tracks load_s instead of the dispatch cost).
+                t_load = time.time()
                 staged = trainer.stage_batch(*_load_batch(i + 1))
+                load_s = time.time() - t_load
             dt = time.time() - t0
             # Defer the host read: metrics are device scalars; float()-ing
             # them here would sync every step.  time_s is dispatch wall (the
             # device runs ahead); flush intervals carry true throughput.
-            pending.append((i, dt, ds_flag, ep_flag, metrics))
+            pending.append((i, dt, load_s, ds_flag, ep_flag, metrics))
             if (
                 len(pending) >= max(1, args.log_every)
                 or i == cfg.training_iters - 1
@@ -294,10 +301,11 @@ def main():
                 or (i % cfg.model_save_freq == 0 and i > 0)
                 or preempt_now
             ):
-                for j, jdt, jds, jep, m in pending:
+                for j, jdt, jload, jds, jep, m in pending:
                     line = {
                         "iter": j,
                         "time_s": round(jdt, 3),
+                        "load_s": round(jload, 3),
                         **{
                             k: (float(v) if hasattr(v, "item") else v)
                             for k, v in m.items()
