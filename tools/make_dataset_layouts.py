@@ -38,10 +38,18 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _log(msg: str) -> None:
+    print(f"[datagen +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _save_png(path: str, arr01: np.ndarray) -> None:
@@ -91,6 +99,13 @@ class _ModelSampler:
 
         from fm3dgan.models.generator import Generator
 
+        # Compiles here are slow over the remote tunnel — persist them (the
+        # bench/profile tools already do; this tool's first run cost ~20 min
+        # of UNCACHED init+synthesis compiles before this line existed).
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/fm3dgan_jax_cache_tpu"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         self.jax = jax
         if ckpt_dir:
             # ckpt_dir format "dir:step" -> a Trainer checkpoint.
@@ -104,10 +119,12 @@ class _ModelSampler:
             self.variables = variables["g"]
         else:
             self.generator = Generator(size=size)
+            _log("compiling generator init")
             self.variables = jax.jit(self.generator.init)(
                 {"params": jax.random.PRNGKey(seed)},
                 jnp.zeros((1, 512), jnp.float32),
             )
+            _log("generator init done")
         # NB: everything (including the [-1,1]->[0,1] postprocess and the
         # identity-W broadcast over variations) lives inside ONE jit per
         # identity: on the axon TPU tunnel, fetching the result of EAGER
@@ -218,6 +235,8 @@ def main():
 
     if args.layout == "synthetic":
         for i in range(args.n_ids):
+            if i % 25 == 0:
+                _log(f"synthetic id {i}/{args.n_ids}")
             id_dir = os.path.join(args.out_dir, f"id_{i:05d}")
             os.makedirs(id_dir, exist_ok=True)
             imgs = identity_batch(i, args.n_var)
@@ -236,6 +255,8 @@ def main():
         for d in (img_d, ren_d, edit_d):
             os.makedirs(d, exist_ok=True)
         for i in range(args.n_ids):
+            if i % 25 == 0:
+                _log(f"ffhq id {i}/{args.n_ids}")
             imgs = identity_batch(i, 1 + args.n_edits)
             _save_png(os.path.join(img_d, f"{i:05d}.png"), imgs[0])
             _save_png(
