@@ -181,6 +181,14 @@ def main():
     from fm3dgan.train import TrainConfig
 
     args = build_arg_parser().parse_args()
+    import jax
+
+    # Persist compiled executables across runs/resumes (≙ train_3_encoder).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("FM3DGAN_JAX_CACHE", "/tmp/fm3dgan_jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg_kwargs = {
         f.name: getattr(args, f.name) for f in dataclasses.fields(TrainConfig)

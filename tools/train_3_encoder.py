@@ -188,8 +188,17 @@ def make_loaders(args, cfg: TrainConfig):
 
 def main():
     args = build_arg_parser().parse_args()
+    import jax
+
+    # Persist compiled executables: a resumed run (--resume_dir after a
+    # preemption) must not re-pay the ~20 min of 256px fused-program
+    # compiles over the remote tunnel.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("FM3DGAN_JAX_CACHE", "/tmp/fm3dgan_jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.rng_impl:
-        import jax
         jax.config.update("jax_default_prng_impl", args.rng_impl)
     cfg_kwargs = {
         f.name: getattr(args, f.name) for f in dataclasses.fields(TrainConfig)
