@@ -30,6 +30,27 @@ def default_transform(size: int = 256) -> Callable:
     return _t
 
 
+def uint8_transform(size: int = 256) -> Callable:
+    """Resize-only transform producing HWC uint8; the [-1,1] normalize runs
+    ON DEVICE (fm3dgan.train.steps._norm_input, exactly (x/255)*2-1).
+
+    Bit-identical to default_transform (PIL resizes in uint8 either way; the
+    float divide commutes), but batches cross host->device as uint8 — 4x
+    less wire traffic, which the r5 campaign measured as the steady-state
+    bottleneck on the tunneled TPU (load_s ~0.5s/iter at 38MB f32 vs ~24ms
+    device-probe for the same batch as uint8).  Also 4x the decode-cache
+    coverage per byte."""
+
+    def _t(img):
+        from PIL import Image
+
+        if img.size != (size, size):
+            img = img.resize((size, size), Image.BILINEAR)
+        return np.asarray(img, dtype=np.uint8)
+
+    return _t
+
+
 def load_image(path: str, transform: Optional[Callable] = None) -> np.ndarray:
     from PIL import Image
 

@@ -45,6 +45,21 @@ def _variables(params: Dict[str, Any], stats: Dict[str, Any], key: str):
     return v
 
 
+def _norm_input(x):
+    """Accept uint8 image batches and normalize ON DEVICE.
+
+    (x/255)*2-1 — exactly the host default_transform (datasets.py), so the
+    uint8 and float32 input paths are bit-identical.  uint8 batches cross
+    host->device as 1/4 the bytes: the r5 campaign measured the tunneled
+    TPU's steady state as TRANSFER-bound (load_s ~0.5s/iter for 38MB of
+    f32 batches; the same batch moves in ~24ms as uint8).  float inputs
+    pass through untouched, so pre-normalized pipelines keep working.
+    """
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    return x
+
+
 def _encode(models, params, stats, photo, render, config, train):
     """Run the 3 encoders; returns (tensor, latent, new_stats)."""
     tsr_input = photo if config.tsr_encode == "Photo Image" else render
@@ -153,6 +168,7 @@ def make_step_fns(
         return state, metrics
 
     def _d_impl(state: TrainState, photo, render, ref, rng, use_edit: bool):
+        photo, render, ref = map(_norm_input, (photo, render, ref))
         fake, new_stats = forward_full(
             models, state.params, state.stats, photo, render, config,
             noise_rng=rng, train=True,
@@ -168,6 +184,7 @@ def make_step_fns(
     # ---------------- D regularization (R1) (:479-493) -------------------
 
     def _d_reg_impl(state: TrainState, ref, use_edit: bool):
+        ref = _norm_input(ref)
         d_key = "d_edit" if use_edit else "d"
 
         def loss_fn(d_params):
@@ -320,6 +337,7 @@ def make_step_fns(
         apply_hmap: bool = False,
         apply_ema: bool = False,
     ):
+        photo, render, ref = map(_norm_input, (photo, render, ref))
         d_key = "d_edit" if use_edit else "d"
 
         def loss_fn(g_enc_params):
@@ -367,6 +385,7 @@ def make_step_fns(
     def _g_reg_impl(state: TrainState, photo, render, rng, apply_ema: bool = False):
         """photo/render: pre-sliced path-reg batch (host does the random
         subset choice, train_3_encoder.py:568-570)."""
+        photo, render = _norm_input(photo), _norm_input(render)
         noise_key, ppl_key = jax.random.split(rng)
 
         def loss_fn(g_enc_params):
@@ -516,6 +535,7 @@ def make_step_fns(
         apply_hmap: bool = False,
     ):
         del g_rng  # the single forward uses d_rng for both updates
+        photo, render, ref = map(_norm_input, (photo, render, ref))
         d_key = "d_edit" if use_edit else "d"
         metrics: Dict[str, Any] = {}
 

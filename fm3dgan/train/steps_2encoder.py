@@ -26,6 +26,7 @@ from fm3dgan.losses.recon import face_identity_loss
 from fm3dgan.pipeline.forward import encode_2_encoder, forward_2_encoder
 from fm3dgan.train.config import TrainConfig
 from fm3dgan.train.state import make_d_optimizer
+from fm3dgan.train.steps import _norm_input
 
 
 def make_2encoder_step_fns(
@@ -110,6 +111,7 @@ def make_2encoder_step_fns(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def d_step(state, photo, render, ref, rng):
+        photo, render, ref = map(_norm_input, (photo, render, ref))
         fake, new_stats = _fwd(
             state["params"], state["stats"], photo, render, True, rng
         )
@@ -118,6 +120,8 @@ def make_2encoder_step_fns(
         )
 
     def _d_reg_impl(state, ref):
+        ref = _norm_input(ref)
+
         def loss_fn(d_params):
             d_fn = lambda img: d_module.apply({"params": d_params}, img)
             if config.remat_reg:
@@ -198,6 +202,8 @@ def make_2encoder_step_fns(
         state, photo, render, ref, rng, frozen,
         ds_flag: bool, extreme_ds_flag: bool, apply_ema: bool = True,
     ):
+        photo, render, ref = map(_norm_input, (photo, render, ref))
+
         def loss_fn(enc_params):
             p = dict(state["params"])
             p.update(enc_params)
@@ -229,6 +235,7 @@ def make_2encoder_step_fns(
         return state, metrics
 
     def _g_reg_impl(state, photo, render, rng, apply_ema: bool = True):
+        photo, render = _norm_input(photo), _norm_input(render)
         noise_key, ppl_key = jax.random.split(rng)
 
         def loss_fn(enc_params):
@@ -333,6 +340,7 @@ def make_2encoder_step_fns(
         do_r1: bool,
         do_g_reg: bool,
     ):
+        photo, render, ref = map(_norm_input, (photo, render, ref))
         metrics: Dict[str, Any] = {}
         enc_params = {k: state["params"][k] for k in enc_keys}
 

@@ -602,3 +602,43 @@ def test_shared_forward_fused_matches_unfused_tiny():
     fa, _ = ravel_pytree(jax.device_get(t_fused.state.params["g"]))
     fb, _ = ravel_pytree(jax.device_get(t_unfused.state.params["g"]))
     assert float(np.max(np.abs(fa - fb))) <= 5e-3
+
+
+def test_uint8_input_path_matches_float():
+    """The uint8 wire path (uint8 batches + steps._norm_input on-device
+    normalize) must be bit-identical to pre-normalized f32 batches:
+    (u8/255)*2-1 is exactly datasets.default_transform's math, so one
+    seeded iteration from the same init must produce identical metrics and
+    updated params."""
+    from fm3dgan.train import Trainer
+
+    rng = np.random.RandomState(23)
+    photo_u8 = rng.randint(0, 256, (4, 128, 128, 3), dtype=np.uint8)
+    render_u8 = rng.randint(0, 256, (4, 128, 128, 3), dtype=np.uint8)
+    ref_u8 = rng.randint(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    to_f32 = lambda a: a.astype(np.float32) * (2.0 / 255.0) - 1.0
+
+    def run(photo, render, ref):
+        cfg = _tiny_cfg(
+            rec_batch=4, ds_batch=4, d_reg_every=3, g_reg_every=3,
+            share_dg_noise=True, width_mult=1 / 16, latent=32, n_mlp=2,
+        )
+        t = Trainer(
+            cfg, seed=5, use_lpips=False, use_arcface=False,
+            input_size=128, fast_init=True,
+        )
+        m = t.train_iteration(1, photo, render, ref, fused=True)
+        return t, {k: float(v) for k, v in m.items()
+                   if hasattr(v, "item") or isinstance(v, float)}
+
+    t_u8, m_u8 = run(photo_u8, render_u8, ref_u8)
+    t_f32, m_f32 = run(to_f32(photo_u8), to_f32(render_u8), to_f32(ref_u8))
+    for k in ("d", "g", "l1", "ref_score", "out_score"):
+        assert abs(m_u8[k] - m_f32[k]) <= 1e-5 * max(1.0, abs(m_f32[k])), (
+            k, m_u8[k], m_f32[k]
+        )
+    from jax.flatten_util import ravel_pytree
+
+    fa, _ = ravel_pytree(jax.device_get(t_u8.state.params["g"]))
+    fb, _ = ravel_pytree(jax.device_get(t_f32.state.params["g"]))
+    assert float(np.max(np.abs(fa - fb))) <= 1e-5

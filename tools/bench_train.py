@@ -40,10 +40,24 @@ def supervise(argv, artifact, deadline_s):
     r4 was never written because the number lived only in prose)."""
     import subprocess
 
-    child_argv = [sys.executable, os.path.abspath(__file__)] + [
-        a for a in argv if not a.startswith("--artifact")
-        and not a.startswith("--deadline")
-    ] + ["--child"]
+    def strip_own_flags(args):
+        out, skip = [], False
+        for a in args:
+            if skip:
+                skip = False
+                continue
+            if a.startswith(("--artifact", "--deadline")):
+                # Both forms: "--artifact=X" and "--artifact X".
+                skip = "=" not in a
+                continue
+            out.append(a)
+        return out
+
+    child_argv = (
+        [sys.executable, os.path.abspath(__file__)]
+        + strip_own_flags(argv)
+        + ["--child"]
+    )
     rec = None
     err = None
     try:
@@ -79,8 +93,7 @@ def supervise(argv, artifact, deadline_s):
             "error": err[:500],
         }
     rec["config"] = "tools/bench_train.py " + " ".join(
-        a for a in argv if a != "--child" and not a.startswith("--artifact")
-        and not a.startswith("--deadline")
+        a for a in strip_own_flags(argv) if a != "--child"
     )
     rec["device"] = "TPU v5e-1 (axon tunnel)"
     rec["date"] = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())

@@ -53,6 +53,11 @@ def build_arg_parser():
     p.add_argument("--ffhq_data_dir", type=str, default=None,
                    help="flat FFHQ image folder (D_ffhq reals)")
     p.add_argument("--n_data_workers", type=int, default=4)
+    p.add_argument("--input_uint8", type=lambda s: s.lower() in
+                   ("1", "true", "yes"), default=True,
+                   help="load training batches as uint8 and normalize "
+                        "on-device (4x less host->device traffic; "
+                        "bit-identical). false = legacy f32 pipeline")
     p.add_argument("--cache_decoded", type=str, default="auto",
                    choices=("auto", "true", "false"),
                    help="memoize decoded+transformed images in host RAM. "
@@ -115,12 +120,16 @@ def make_loaders(args, cfg):
         SyntheticPairDataset,
         dual_supervision_indices,
     )
-    from fm3dgan.data.datasets import default_transform
+    from fm3dgan.data.datasets import default_transform, uint8_transform
 
     # Encoder streams resize to input_size; the real-image D stream (FFHQ)
     # stays at the generator size (train.py:699-716 keeps both at its fixed
-    # 256 — here the two are configurable independently).
-    transform = default_transform(args.input_size or cfg.size)
+    # 256 — here the two are configurable independently).  uint8 wire path
+    # ≙ train_3_encoder (steps_2encoder normalizes on device).
+    size = args.input_size or cfg.size
+    transform = (
+        uint8_transform(size) if args.input_uint8 else default_transform(size)
+    )
     cache = _resolve_cache(args, cfg)
 
     rec_set = ReconstructionDataset(
@@ -155,7 +164,11 @@ def make_loaders(args, cfg):
 
         ds = _EditPairs()
         ffhq_set = ImageFolderDataset(
-            args.ffhq_data_dir, transform=default_transform(cfg.size),
+            args.ffhq_data_dir,
+            transform=(
+                uint8_transform(cfg.size) if args.input_uint8
+                else default_transform(cfg.size)
+            ),
             cache=cache,
         )
         ffhq = DataLoader(

@@ -81,6 +81,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_real_eval_faces", type=int, default=2)
     p.add_argument("--n_syn_eval_faces", type=int, default=2)
     p.add_argument("--n_data_workers", type=int, default=4)
+    p.add_argument("--input_uint8", type=lambda s: s.lower() in
+                   ("1", "true", "yes"), default=True,
+                   help="load training batches as uint8 and normalize "
+                        "on-device (4x less host->device traffic; "
+                        "bit-identical). false = legacy f32 pipeline")
     p.add_argument("--cache_decoded", type=str, default="auto",
                    choices=("auto", "true", "false"),
                    help="memoize decoded+transformed images in host RAM "
@@ -142,12 +147,19 @@ def make_loaders(args, cfg: TrainConfig):
         dual_supervision_indices,
         extreme_pose_indices,
     )
-    from fm3dgan.data.datasets import default_transform
+    from fm3dgan.data.datasets import default_transform, uint8_transform
 
     # Real-data images must arrive at the ENCODER input size (the reference's
     # transform resizes to its fixed 256, dataset.py:24-27; here input_size
-    # is configurable so the transform must follow it).
-    transform = default_transform(args.input_size or cfg.size)
+    # is configurable so the transform must follow it).  Training loaders
+    # default to the uint8 path: batches cross host->device as 1/4 the
+    # bytes and the steps normalize on device (bit-identical math,
+    # steps._norm_input) — the r5 campaign measured f32 batch transfer as
+    # the tunneled-TPU steady-state bottleneck.  Eval/val loaders keep f32.
+    size = args.input_size or cfg.size
+    transform = (
+        uint8_transform(size) if args.input_uint8 else default_transform(size)
+    )
     cache = _resolve_cache(args, cfg)
 
     rec_set = ReconstructionDataset(
@@ -262,9 +274,16 @@ def main():
             # Smoke-test path (generator smaller than encoder input):
             # box-downsample refs to the generated resolution.
             f = g_ref.shape[1] // cfg.size
+            in_dtype = g_ref.dtype
             g_ref = g_ref.reshape(
                 g_ref.shape[0], cfg.size, f, cfg.size, f, 3
             ).mean(axis=(2, 4))
+            if in_dtype == np.uint8:
+                # Stay on the uint8 wire path; the device normalizer is
+                # dtype-gated, so a float64 mean here would skip it.
+                g_ref = np.clip(np.round(g_ref), 0, 255).astype(np.uint8)
+            else:
+                g_ref = g_ref.astype(np.float32)
         return g_input, r_input, g_ref
 
     from fm3dgan.train.preempt import GracefulShutdown
@@ -476,6 +495,15 @@ def _save_val_set_grid(trainer, val_sets, sample_dir, step):
 def _save_sample_grid(trainer, photos, renders, sample_dir, step, n=4):
     """Photo x render editing grid PNG from the EMA generator."""
     import jax
+
+    # Training batches may arrive as device uint8 (the low-wire-cost input
+    # path); this eval forward expects [-1,1] floats.
+    photos = np.asarray(photos)
+    renders = np.asarray(renders)
+    if photos.dtype == np.uint8:
+        photos = photos.astype(np.float32) * (2.0 / 255.0) - 1.0
+    if renders.dtype == np.uint8:
+        renders = renders.astype(np.float32) * (2.0 / 255.0) - 1.0
 
     from fm3dgan.eval.visual_eval import (
         get_batch_eval_result,
