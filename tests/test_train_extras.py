@@ -642,3 +642,33 @@ def test_uint8_input_path_matches_float():
     fa, _ = ravel_pytree(jax.device_get(t_u8.state.params["g"]))
     fb, _ = ravel_pytree(jax.device_get(t_f32.state.params["g"]))
     assert float(np.max(np.abs(fa - fb))) <= 1e-5
+
+
+def test_trainer2_uint8_input_path_matches_float():
+    """Trainer2's step programs also accept uint8 batches (device-side
+    normalize, steps_2encoder imports steps._norm_input) — one seeded
+    iteration must match the pre-normalized f32 run exactly."""
+    from fm3dgan.train.loop2 import Trainer2
+
+    rng = np.random.RandomState(7)
+    photo_u8 = rng.randint(0, 256, (2, 128, 128, 3), dtype=np.uint8)
+    render_u8 = rng.randint(0, 256, (2, 128, 128, 3), dtype=np.uint8)
+    ref_u8 = rng.randint(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    to_f32 = lambda a: a.astype(np.float32) * (2.0 / 255.0) - 1.0
+
+    def run(photo, render, ref):
+        cfg = _tiny_cfg(d_reg_every=3, g_reg_every=3)
+        t = Trainer2(
+            cfg, seed=0, co_modulation="Multiplication",
+            use_lpips=False, use_arcface=False, input_size=128,
+        )
+        m = t.train_iteration(1, photo, render, ref)
+        return t, {k: float(v) for k, v in m.items()
+                   if hasattr(v, "item") or isinstance(v, float)}
+
+    t_u8, m_u8 = run(photo_u8, render_u8, ref_u8)
+    t_f32, m_f32 = run(to_f32(photo_u8), to_f32(render_u8), to_f32(ref_u8))
+    for k in ("d", "g", "l1"):
+        assert abs(m_u8[k] - m_f32[k]) <= 1e-5 * max(1.0, abs(m_f32[k])), (
+            k, m_u8[k], m_f32[k]
+        )
