@@ -81,6 +81,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_real_eval_faces", type=int, default=2)
     p.add_argument("--n_syn_eval_faces", type=int, default=2)
     p.add_argument("--n_data_workers", type=int, default=4)
+    p.add_argument("--divergence_threshold", type=float, default=1e6,
+                   help="halt (emergency ckpt + exit 3) when |g| or |l1| "
+                        "exceeds this — or is non-finite — for 2 "
+                        "consecutive log windows; 0 disables.  Motivated "
+                        "by the r5 campaign's GAN runaway (5 -> 1e9 in ~10 "
+                        "iters): a diverged run burns fleet TPU-hours for "
+                        "nothing")
     p.add_argument("--input_uint8", type=lambda s: s.lower() in
                    ("1", "true", "yes"), default=True,
                    help="load training batches as uint8 and normalize "
@@ -290,6 +297,7 @@ def main():
 
     stopper = GracefulShutdown()
     pending: list = []
+    diverged_windows = 0
     # Double-buffered input transfer: batch i is already on device when step
     # i dispatches; batch i+1's device_put is issued right after, overlapping
     # the copy with step i's device compute.
@@ -349,8 +357,42 @@ def main():
                         + (" [DS]" if jds else "")
                         + (" [EP]" if jep else "")
                     )
+                    # Divergence guard (free: values are already host
+                    # floats at flush time, no extra sync).  The r5
+                    # campaign's GAN runaway went 5 -> 1e9 within ~10
+                    # iterations and then burned 340 diverged iterations of
+                    # TPU time before a human noticed; a production spot
+                    # fleet would burn hours.  Non-finite or
+                    # above-threshold g/l1 for 2 consecutive FLUSHED
+                    # windows => emergency checkpoint + exit 3 (resume from
+                    # the last healthy ckpt, typically with a lower lr).
+                    vals = [line.get("g", 0.0), line.get("l1", 0.0)]
+                    if args.divergence_threshold > 0 and (
+                        any(not np.isfinite(v) for v in vals)
+                        or any(abs(v) > args.divergence_threshold
+                               for v in vals)
+                    ):
+                        diverged_windows += 1
+                    else:
+                        diverged_windows = 0
                 logf.flush()
                 pending.clear()
+                if diverged_windows >= 2 * max(1, args.log_every):
+                    print(
+                        f"[{i}] DIVERGENCE: |g|/|l1| beyond "
+                        f"{args.divergence_threshold:g} (or non-finite) for "
+                        f"2 consecutive log windows — emergency checkpoint "
+                        f"and exit 3.  Resume from an earlier healthy "
+                        f"checkpoint (e.g. --resume_dir {ckpt_dir} "
+                        f"--resume_step <last good>), typically with a "
+                        f"lower --lr."
+                    )
+                    logf.write(json.dumps(
+                        {"diverged": i,
+                         "threshold": args.divergence_threshold}) + "\n")
+                    logf.flush()
+                    trainer.save_checkpoint(ckpt_dir, i)
+                    sys.exit(3)
             # Visual sample grid every val_sample_freq iters with the EMA
             # generator (Sample_Eval_Save_Ckpt, train_3_encoder.py:667-706).
             if i % cfg.val_sample_freq == 0 and i > 0 and not preempt_now:
