@@ -58,6 +58,10 @@ def build_arg_parser():
                    help="load training batches as uint8 and normalize "
                         "on-device (4x less host->device traffic; "
                         "bit-identical). false = legacy f32 pipeline")
+    p.add_argument("--divergence_threshold", type=float, default=1e6,
+                   help="halt (emergency ckpt + exit 3) when |g| or |l1| "
+                        "exceeds this — or is non-finite — for 2 "
+                        "consecutive log windows; 0 disables")
     p.add_argument("--cache_decoded", type=str, default="auto",
                    choices=("auto", "true", "false"),
                    help="memoize decoded+transformed images in host RAM. "
@@ -285,6 +289,7 @@ def main():
 
     stopper = GracefulShutdown()
     pending: list = []
+    diverged_windows = 0
     staged = _stage(_load_batch(start_iter))
     with open(log_path, "a") as logf:
         for i in range(start_iter, cfg.training_iters):
@@ -325,8 +330,33 @@ def main():
                         f"ppl={line.get('g_reg', 0):.4f} ({jdt:.2f}s)"
                         + (" [DS]" if jds else "")
                     )
+                    # Divergence guard (≙ train_3_encoder.py): free at
+                    # flush time; halts a run that would otherwise burn
+                    # fleet TPU-hours producing garbage.
+                    vals = [line.get("g", 0.0), line.get("l1", 0.0)]
+                    if args.divergence_threshold > 0 and (
+                        any(not np.isfinite(v) for v in vals)
+                        or any(abs(v) > args.divergence_threshold
+                               for v in vals)
+                    ):
+                        diverged_windows += 1
+                    else:
+                        diverged_windows = 0
                 logf.flush()
                 pending.clear()
+                if diverged_windows >= 2 * max(1, args.log_every):
+                    print(
+                        f"[{i}] DIVERGENCE: |g|/|l1| beyond "
+                        f"{args.divergence_threshold:g} (or non-finite) "
+                        f"for 2 consecutive log windows — emergency "
+                        f"checkpoint and exit 3."
+                    )
+                    logf.write(json.dumps(
+                        {"diverged": i,
+                         "threshold": args.divergence_threshold}) + "\n")
+                    logf.flush()
+                    trainer.save_checkpoint(ckpt_dir, i)
+                    sys.exit(3)
             if i % cfg.model_save_freq == 0 and i > 0 and not preempt_now:
                 trainer.save_checkpoint(ckpt_dir, i)
 
